@@ -1,0 +1,1 @@
+from sptag_spark.operators.asof import asof_join  # noqa: F401

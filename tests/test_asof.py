@@ -1,0 +1,111 @@
+"""As-of join: all three strategies vs the DuckDB ASOF JOIN oracle, plus
+zero-temporal-leakage invariants (reference analog: version predicate
+ExtraDynamicSearcher.h:680; leakage probe per FIXTURES.md T5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sptag_spark.operators.asof import asof_join
+from tests.util import assert_df_equal
+
+STRATEGIES = ["union", "broadcast", "merge"]
+
+
+def _probe_data(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    probe = ev.filter("event_type='purchase'").select("event_id", "user_id", "ts")
+    data = ev.filter("event_type='click'").select(
+        "user_id", "ts", F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    return probe, data
+
+
+ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, c.ts AS matched_ts,
+       c.value AS click_value, c.event_id AS click_event_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type='click') c
+ON p.user_id = c.user_id AND p.ts {op} c.ts
+"""
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_asof_inclusive_matches_duckdb(spark, ddb, strategy):
+    probe, data = _probe_data(spark)
+    got = asof_join(probe, data, on="user_id", probe_ts="ts", data_ts="ts",
+                    strategy=strategy)
+    assert_df_equal(got, ddb.sql(ORACLE.format(op=">=")).df())
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_asof_strict_matches_duckdb(spark, ddb, strategy):
+    probe, data = _probe_data(spark)
+    got = asof_join(probe, data, on="user_id", probe_ts="ts", data_ts="ts",
+                    strict=True, strategy=strategy)
+    assert_df_equal(got, ddb.sql(ORACLE.format(op=">")).df())
+
+
+@pytest.mark.parametrize("strategy", STRATEGIES)
+def test_asof_zero_leakage(spark, strategy):
+    """Planting a data row at asof_ts + 1us must not change any result
+    (FIXTURES.md T5 leakage probe)."""
+    probe, data = _probe_data(spark)
+    base = asof_join(probe, data, on="user_id", probe_ts="ts", data_ts="ts",
+                     strategy=strategy).toPandas()
+    # Plant a poison row 1us after each user's LAST probe: invisible to
+    # every probe of that user iff the operator never reads the future.
+    leak = probe.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("ts"),
+        F.lit(9.99e9).alias("click_value"),
+        F.lit(-1).cast("long").alias("click_event_id"),
+    )
+    poisoned = data.unionByName(leak)
+    got = asof_join(probe, poisoned, on="user_id", probe_ts="ts", data_ts="ts",
+                    strategy=strategy).toPandas()
+    assert not (got["click_value"] > 9e9).any(), "future row leaked into result"
+    matched = got["matched_ts"].notna()
+    assert (got.loc[matched, "matched_ts"] <= got.loc[matched, "ts"]).all(), (
+        "matched_ts after probe ts — temporal leakage"
+    )
+    from tests.util import normalize
+    import pandas as pd
+    pd.testing.assert_frame_equal(normalize(base), normalize(got))
+
+
+def test_asof_strategies_agree_on_ties(spark):
+    """Exact-timestamp ties: inclusive picks the tied row in every strategy."""
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("b", 5, 50.0)]
+    data = spark.createDataFrame(rows, "k string, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v")
+    probe = spark.createDataFrame(
+        [("a", 2), ("a", 1), ("a", 0), ("b", 9), ("c", 9)], "k string, t long"
+    ).select("k", F.timestamp_seconds("t").alias("ts"))
+    results = []
+    for s in STRATEGIES:
+        r = asof_join(probe, data, on="k", probe_ts="ts", data_ts="ts",
+                      strategy=s).toPandas()
+        r = r.sort_values(["k", "ts"]).reset_index(drop=True)
+        results.append(r)
+    assert list(results[0]["v"].fillna(-1)) == [-1.0, 10.0, 20.0, 50.0, -1.0]
+    for other in results[1:]:
+        assert list(results[0]["v"].fillna(-1)) == list(other["v"].fillna(-1))
+
+
+def test_asof_union_plan_has_single_shuffle(spark):
+    """Scale guard: the union strategy must plan exactly one Exchange."""
+    probe, data = _probe_data(spark)
+    got = asof_join(probe, data, on="user_id", probe_ts="ts", data_ts="ts",
+                    strategy="union")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, f"expected <=2 Exchange (1 shuffle + AQE read), got:\n{plan}"
