@@ -31,8 +31,8 @@ def sessionize(
     """Assign 0-based per-key session ids; new session when the gap since
     the previous event is strictly greater than ``gap_seconds``."""
     w = Window.partitionBy(*keys).orderBy(F.col(ts))
-    prev_us = F.lag(F.unix_micros(F.col(ts))).over(w)
-    gap_us = F.unix_micros(F.col(ts)) - prev_us
+    prev_us = F.lag(F.unix_micros(F.col(ts).cast("timestamp"))).over(w)
+    gap_us = F.unix_micros(F.col(ts).cast("timestamp")) - prev_us
     is_new = F.when(
         prev_us.isNull() | (gap_us > gap_seconds * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
@@ -65,7 +65,7 @@ def session_aggregate(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
         (
-            (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))) / F.lit(1_000_000.0)
+            (F.unix_micros(F.max(ts).cast("timestamp")) - F.unix_micros(F.min(ts).cast("timestamp"))) / F.lit(1_000_000.0)
         ).alias("duration_sec"),
     ]
     if value_col is not None:

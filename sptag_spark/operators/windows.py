@@ -87,7 +87,7 @@ def rolling_range_seconds(
     sub-second timestamps stay exact (unix_micros is a long — no float
     rounding of event time).
     """
-    us = F.unix_micros(F.col(ts))
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
     w = (
         Window.partitionBy(*keys)
         .orderBy(us)

@@ -100,12 +100,6 @@ def test_asof_union_plan_has_single_shuffle(spark):
     probe, data = _probe_data(spark)
     got = asof_join(probe, data, on="user_id", probe_ts="ts", data_ts="ts",
                     strategy="union")
-    import contextlib
-    import io
+    from tests.util import count_exchanges
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        got.explain("formatted")
-    plan = buf.getvalue()
-    n_exchanges = plan.count("Exchange")
-    assert n_exchanges <= 2, f"expected <=2 Exchange (1 shuffle + AQE read), got:\n{plan}"
+    assert count_exchanges(got) <= 1

@@ -60,3 +60,16 @@ def assert_df_equal(
                 f"column {c!r} differs; first bad rows:\n"
                 f"got:\n{got[bad].head()}\nwant:\n{want[bad].head()}"
             )
+
+
+def count_exchanges(spark_df) -> int:
+    """Count physical Exchange nodes in the formatted plan (numbered detail
+    entries only, so the tree rendering isn't double-counted)."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        spark_df.explain("formatted")
+    return len(re.findall(r"^\(\d+\) Exchange", buf.getvalue(), re.MULTILINE))
