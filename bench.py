@@ -1,0 +1,85 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Times every driver-contract query (``__spark_entry__.queries()``) plus the
+end-to-end tokenized-corpus feature pipeline at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, and prints
+exactly ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "sequences_per_sec": ..., "tokens_per_sec": ...}
+
+Each query is materialized with a noop-format write so the whole plan
+(including every output column) executes without driver-side collect
+overhead — the Spark analog of the reference's QPS harness
+(AnnService/inc/SSDServing/SSDIndex.h:61-97), which times search + result
+write, not result printing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def materialize(df) -> int:
+    """Force full execution of every column; return row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+
+    import __spark_entry__ as ent
+    from sptag_spark.datagen import write_corpus
+    from sptag_spark.pipeline import run_pipeline
+    from sptag_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus,
+                      shuffle_partitions=2 * int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name, fn in ent.queries().items():
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # End-to-end token pipeline: generate the north-rule corpus at a scale
+    # proportional to the sf, then ingest -> featurize -> as-of serve.
+    with tempfile.TemporaryDirectory() as tmp:
+        n_docs = max(2_000, int(200_000 * float(sf)))
+        write_corpus(spark, tmp, n_docs=n_docs, n_probes=n_docs // 2, seed=42)
+        t0 = time.time()
+        metrics = run_pipeline(
+            spark,
+            os.path.join(tmp, "sequences.parquet"),
+            probes_path=os.path.join(tmp, "asof_probes.parquet"),
+        )
+        timings["token_pipeline"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "feature_engineering_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "sequences_per_sec": round(metrics["sequences_per_sec"], 1),
+        "tokens_per_sec": round(metrics["tokens_per_sec"], 1),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
