@@ -269,6 +269,319 @@ ORDER BY value DESC, event_id LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# documents / embeddings: text analysis, dedup, similarity search
+# ---------------------------------------------------------------------------
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# Shared oracle fragments (DuckDB). _NORM/_TOKS/_SHINGLES mirror
+# sptag_spark.functions.text.normalize_text / ws_tokens / word_shingles
+# term-for-term so values hash-match.
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), "
+         "'\\s+', ' ', 'g'))")
+_TOKS_CTE = f"""
+WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents)
+"""
+_SHINGLES_CTE = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+tk AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n),
+s AS (SELECT doc_id,
+        list_distinct(CASE WHEN len(toks) >= 3
+          THEN list_transform(range(1, len(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          ELSE [norm] END) AS sh
+      FROM tk)
+"""
+_STOPWORDS_SQL = "('the','a','of','and','to','in','is')"
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.functions.text import with_text_stats
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return with_text_stats(docs).drop("text")
+
+
+_TEXT_STATS_ORACLE = _TOKS_CTE + f"""
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+    AS n_bpe_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+  CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) AS BIGINT) AS n_stopwords,
+  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS BIGINT)
+    AS n_punct,
+  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+    AS avg_word_len,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+  CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(toks)
+    AS stopword_ratio,
+  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+    / length(text) AS punct_ratio,
+  (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
+    + (CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(toks)) * 0.4
+    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+       AS DOUBLE) / length(text)) * 0.2 AS quality_score
+FROM t
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.functions.text import with_lang_id
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return with_lang_id(docs).drop("text")
+
+
+def _lang_id_oracle() -> str:
+    from sptag_spark.functions.text import LANG_MARKERS
+
+    score = {
+        lang: "CAST(len(list_filter(toks, x -> x IN ("
+        + ",".join(f"'{w}'" for w in words)
+        + "))) AS BIGINT)"
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ",".join(score[lg] for lg in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN {score[lg]} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    cols = ",\n  ".join(f"{score[lg]} AS score_{lg}" for lg in langs)
+    return _TOKS_CTE + f"SELECT doc_id,\n  {cols},\n  {case} AS lang_guess\nFROM t"
+
+
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.functions.text import with_text_stats
+
+    docs = _documents(spark, sf_dir).select("doc_id", "lang", "source", "text")
+    return (
+        with_text_stats(docs)
+        .filter("quality_score >= 0.5 AND n_ws_tokens BETWEEN 10 AND 1000 "
+                "AND punct_ratio < 0.1")
+        .select("doc_id", "lang", "source", "n_ws_tokens", "quality_score")
+    )
+
+
+_QUALITY_FILTER_ORACLE = _TOKS_CTE + f""",
+f AS (SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+    AS DOUBLE) / length(text) AS punct_ratio,
+  (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
+    + (CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(toks)) * 0.4
+    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+       AS DOUBLE) / length(text)) * 0.2 AS quality_score
+FROM t)
+SELECT d.doc_id, d.lang, d.source, f.n_ws_tokens, f.quality_score
+FROM documents d JOIN f ON d.doc_id = f.doc_id
+WHERE f.quality_score >= 0.5 AND f.n_ws_tokens BETWEEN 10 AND 1000
+  AND f.punct_ratio < 0.1
+"""
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.functions.text import (
+        doc_fingerprint, shingle_min_fingerprint,
+    )
+
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fp"),
+        shingle_min_fingerprint(F.col("text")).alias("minhash1"),
+    )
+
+
+_DOC_FINGERPRINT_ORACLE = _SHINGLES_CTE + f"""
+SELECT n.doc_id, md5(n.norm) AS fp,
+       list_min(list_transform(s.sh, x -> md5(x))) AS minhash1
+FROM n JOIN s ON n.doc_id = s.doc_id
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_documents(spark, sf_dir))
+
+
+_DEDUP_EXACT_ORACLE = f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+c AS (SELECT fp, min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+      FROM fp GROUP BY fp)
+SELECT f.doc_id, f.fp, c.canonical_doc_id, c.n_copies,
+       CAST(f.doc_id <> c.canonical_doc_id AS INT) AS is_duplicate
+FROM fp f JOIN c ON f.fp = c.fp
+"""
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_documents(spark, sf_dir), threshold=0.5)
+
+
+_DEDUP_JACCARD_ORACLE = _SHINGLES_CTE + """,
+e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sh1 FROM s),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, n_a, n_b, n_common,
+       CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+FROM p WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5
+"""
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _documents(spark, sf_dir), num_hashes=12, bands=4
+    )
+
+
+def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    r = num_hashes // bands
+    sig_cols = ",\n    ".join(
+        f"list_min(list_transform(sh, x -> md5('{h}|' || x))) AS mh{h}"
+        for h in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"mh{b * r + i}" for i in range(r))
+        + ")) AS bkey FROM sig"
+        for b in range(bands)
+    )
+    return _SHINGLES_CTE + f""",
+sig AS (SELECT doc_id,
+    {sig_cols}
+  FROM s),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_documents(spark, sf_dir), max_hamming=3)
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    h32 = "(('0x' || substr(md5(w), 1, 8))::BIGINT)"
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, "
+        f"w -> ((({h32}) >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return _SHINGLES_CTE + f""",
+hv AS (SELECT doc_id, sh AS hs FROM s),
+sim AS (SELECT doc_id, {terms} AS sim FROM hv)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sim AS sim_a, b.sim AS sim_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
+def _q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.knn import brute_force_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return brute_force_topk(emb, emb.filter("vec_id < 8"), k=10)
+
+
+_KNN_ORACLE = """
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+scored AS (
+  SELECT qy.vec_id AS query_id, c.vec_id AS vec_id,
+    CAST(list_sum(list_transform(range(1, len(c.q)+1), i -> c.q[i]*qy.q[i]))
+      AS DOUBLE) / (sqrt(CAST(c.nrm AS DOUBLE)) * sqrt(CAST(qy.nrm AS DOUBLE)))
+      AS cosine
+  FROM n c JOIN n qy ON qy.vec_id < 8 AND c.vec_id <> qy.vec_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.knn import cosine_near_dup_pairs
+
+    return cosine_near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+
+
+_EMB_NEAR_DUP_ORACLE = """
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]))
+      AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+      AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+WHERE cosine >= 0.4
+"""
+
+
+def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.knn import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(emb, emb.filter("vec_id < 8"), k=10,
+                    n_centroids=32, nprobe=4)
+
+
+def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+        )
+        .withColumn(
+            "avg_chars",
+            F.col("sum_chars").cast("double") / F.col("n_docs"),
+        )
+    )
+
+
+_CORPUS_ROLLUP_ORACLE = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_join_union": _q_asof("union"),
@@ -282,6 +595,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill": _q_backfill,
         "topk_per_group": _q_topk_per_group,
         "global_topk": _q_global_topk,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "quality_filter": _q_quality_filter,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "knn_cosine_topk": _q_knn_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ivf_knn_topk": _q_ivf_knn,  # approximate: rows-only check (no oracle)
+        "corpus_stats_rollup": _q_corpus_rollup,
     }
 
 
@@ -298,4 +623,15 @@ def oracle_sql() -> dict[str, str]:
         "backfill": _BACKFILL_ORACLE,
         "topk_per_group": _TOPK_ORACLE,
         "global_topk": _GLOBAL_TOPK_ORACLE,
+        "text_stats": _TEXT_STATS_ORACLE,
+        "lang_id": _lang_id_oracle(),
+        "quality_filter": _QUALITY_FILTER_ORACLE,
+        "doc_fingerprint": _DOC_FINGERPRINT_ORACLE,
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "dedup_jaccard": _DEDUP_JACCARD_ORACLE,
+        "dedup_minhash_lsh": _minhash_lsh_oracle(12, 4),
+        "dedup_simhash": _simhash_oracle(32, 3),
+        "knn_cosine_topk": _KNN_ORACLE,
+        "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
+        "corpus_stats_rollup": _CORPUS_ROLLUP_ORACLE,
     }

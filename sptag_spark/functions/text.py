@@ -1,0 +1,188 @@
+"""Text-analysis kernels for the documents table.
+
+The training-data-pipeline layer the reference's metadata machinery
+implies but never ships (MetadataSet is an opaque byte payload,
+AnnService/inc/Core/MetadataSet.h:13-45): tokenization stats, quality
+scoring, language-ID heuristics, and document fingerprinting — all as
+JVM-side column expressions (whole-stage codegen, zero Python in the hot
+path), each with an exact ANSI-SQL twin so the DuckDB oracle can verify
+values hash-identically.
+
+Determinism rules (see __spark_entry__ module docstring):
+- counts/ratios derive from integer token counts; ratios are single
+  double divisions (IEEE-identical across engines);
+- hashes use md5 (identical hex in Spark and DuckDB);
+- argmax tiebreaks are lexicographic, encoded in the scoring expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker-word sets per language for the n-gram/stopword language-ID
+# heuristic. On real corpora these are the classic high-frequency function
+# words; the synthetic testdata shares one vocabulary across langs, so the
+# heuristic is exercised for mechanics (scoring, argmax, tiebreak), not
+# accuracy.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "los", "de", "y", "que", "en"),
+    "fr": ("le", "la", "les", "des", "et", "est", "une"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space
+# symbols — the standard GPT-2-style pre-split shape.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(text), "\\s+")
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(ws_tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def punct_count(text: Column) -> Column:
+    """Characters outside [a-zA-Z0-9 and whitespace]."""
+    return F.length(text) - F.length(
+        F.regexp_replace(text, "[^a-zA-Z0-9\\s]", "")
+    )
+
+
+def text_quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / lexical-diversity quality signals.
+
+    All ratios are one double division over exact integer counts so the
+    DuckDB oracle reproduces them bit-for-bit.
+    """
+    toks = ws_tokens(text)
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = stopword_count(text)
+    n_punct = punct_count(text)
+    n_chars = F.length(text)
+    sum_word_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda s, t: s + F.length(t)
+    )
+    return {
+        "n_ws_tokens": n.cast("long"),
+        "n_bpe_tokens": bpe_token_count(text).cast("long"),
+        "n_distinct_tokens": n_distinct.cast("long"),
+        "n_stopwords": n_stop.cast("long"),
+        "n_punct": n_punct.cast("long"),
+        "avg_word_len": sum_word_len.cast("double") / n,
+        "distinct_ratio": n_distinct.cast("double") / n,
+        "stopword_ratio": n_stop.cast("double") / n,
+        "punct_ratio": n_punct.cast("double") / n_chars,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish score: lexical diversity + stopword presence −
+    punctuation noise. Weights mirror the C4/Gopher-style heuristic family;
+    the exact formula is replicated in the SQL oracle term-for-term."""
+    f = text_quality_features(text)
+    return (
+        f["distinct_ratio"] * F.lit(0.4)
+        + f["stopword_ratio"] * F.lit(0.4)
+        + (F.lit(1.0) - f["punct_ratio"]) * F.lit(0.2)
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    feats = text_quality_features(t)
+    return df.select(
+        "*",
+        *[c.alias(name) for name, c in feats.items()],
+        quality_score(t).alias("quality_score"),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per candidate language."""
+    toks = ws_tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(arr, t))
+        ).cast("long")
+    return out
+
+
+def lang_guess(text: Column) -> Column:
+    """argmax over lang_scores with lexicographic tiebreak; 'und' when no
+    marker hits at all (the fasttext-style unknown label)."""
+    scores = lang_scores(text)
+    # Build max via greatest(); then first lang (sorted) achieving it.
+    best = F.greatest(*scores.values())
+    guess = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        guess = F.when(scores[lang] == best, F.lit(lang)).otherwise(guess)
+    return F.when(best == 0, F.lit("und")).otherwise(guess)
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    scores = lang_scores(t)
+    return df.select(
+        "*",
+        *[c.alias(f"score_{lang}") for lang, c in scores.items()],
+        lang_guess(t).alias("lang_guess"),
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for dedup: lowercase, strip non-alnum, collapse
+    whitespace."""
+    cleaned = F.regexp_replace(F.lower(text), "[^a-z0-9\\s]", " ")
+    return F.trim(F.regexp_replace(cleaned, "\\s+", " "))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text (the MinHash/Jaccard
+    unit). Documents shorter than n words yield their full text as the one
+    shingle so no row drops out of the dedup universe.
+
+    Built as zip_with over shifted slices, NOT transform+element_at: inside
+    a transform lambda, element_at(split(...), i) re-evaluates the split
+    (and the normalize regexes) per element — O(len^2) per row. zip_with
+    evaluates each array child once."""
+    norm = normalize_text(text)
+    toks = F.split(norm, " ")
+    k = F.size(toks)
+    m = k - (n - 1)  # shingle count
+    acc = F.slice(toks, F.lit(1), m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, F.lit(j + 1), m),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.array_distinct(F.when(k >= n, acc).otherwise(F.array(norm)))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Full-document content fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def shingle_min_fingerprint(text: Column, n: int = 3) -> Column:
+    """MinHash with one hash function: lexicographic min of per-shingle
+    md5s — a locality-sensitive 1-perm sketch of the document."""
+    return F.array_min(F.transform(word_shingles(text, n), F.md5))

@@ -1,0 +1,319 @@
+"""Deduplication operators over the documents table.
+
+The reference dedups candidates per-query with a visited-set hash
+(WorkSpace.h:114-165 CheckAndSet) and prunes near-duplicate neighbors with
+the RNG rule (RelativeNeighborhoodGraph.h:18-35). A training-data engine
+needs the corpus-level versions: exact dedup, shingle-Jaccard similarity
+join, MinHash+LSH banding, and SimHash hamming blocking. All four are
+pure DataFrame compositions (shuffle-aware, no Python in the hot path)
+with exact ANSI-SQL oracles.
+
+Scale notes (100 TB):
+- exact dedup is one hash-aggregate on md5(normalized text) — map-side
+  partial agg, no driver state;
+- the shingle join explodes distinct shingles and self-joins on the
+  shingle key; `max_df` drops stop-shingles (doc-frequency cap) which is
+  both the standard quality fix and the skew fix — hot shingles are
+  exactly the keys that would blow up the shuffle (reference analog: the
+  balanced-partition λ penalty, BKTree.h:250-251);
+- MinHash/LSH replaces the quadratic join with B band-bucket joins —
+  candidate pairs only, verified by exact Jaccard afterwards if needed;
+- SimHash blocks on 4-bit nibbles; for hamming radius <=3 over 16 bits
+  the 4-block pigeonhole makes the blocked join *lossless* vs brute force
+  (the oracle IS the brute-force cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sptag_spark.functions.text import (
+    doc_fingerprint,
+    normalize_text,
+    word_shingles,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Tag every row with its content fingerprint, the canonical (minimum)
+    id holding that fingerprint, and an is_duplicate flag.
+
+    One groupBy on the md5 fingerprint (map-side combinable) + one
+    broadcast-able join back — at 100 TB the canonical table is small
+    relative to the corpus iff dup rate is high; AQE picks the strategy.
+    """
+    fp = df.select(
+        F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp")
+    )
+    canon = fp.groupBy("fp").agg(
+        F.min(id_col).alias("canonical_" + id_col),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return (
+        fp.join(canon, "fp")
+        .select(
+            id_col,
+            "fp",
+            "canonical_" + id_col,
+            "n_copies",
+            (F.col(id_col) != F.col("canonical_" + id_col))
+            .cast("int")
+            .alias("is_duplicate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_shingles"),
+    ).select(
+        "_id",
+        F.size("_shingles").alias("_n_sh"),
+        F.explode("_shingles").alias("_sh"),
+    )
+    if max_df is not None:
+        freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(
+            F.broadcast(freq.filter(F.col("_df") <= max_df).select("_sh")),
+            "_sh",
+        )
+    return sh
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-Jaccard >= threshold.
+
+    jaccard = |A∩B| / (|A| + |B| − |A∩B|) over DISTINCT n-word shingles.
+    |A|,|B| are pre-filter set sizes so max_df only prunes candidate
+    generation, not the denominator (mirrored in the oracle).
+    """
+    sizes = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(word_shingles(F.col(text_col), n)).alias("_n_sh"),
+    )
+    sh = _exploded_shingles(df, id_col, text_col, n, max_df).select("_id", "_sh")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a._sh") == F.col("b._sh"))
+               & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_id", "id_a")
+                   .withColumnRenamed("_n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b")
+              .withColumnRenamed("_n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_a", "n_b", "n_common", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed h, min over shingles of
+    md5(h || '|' || shingle). md5 agrees byte-for-byte across Spark and
+    DuckDB, and lexicographic min over hex strings is engine-neutral —
+    no custom hash family needed for the oracle."""
+    # Materialize the shingle array in its own projection so codegen
+    # computes it once per row; inlining it would re-derive (normalize +
+    # split + n-gram) num_hashes times.
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_shingles"),
+    )
+    # NOTE: closure factory, not `lambda s, h=h`: pyspark counts default
+    # params in the lambda arity and would bind the array INDEX to h.
+    def _seeded_md5(h: int):
+        return lambda s: F.md5(F.concat_ws("|", F.lit(str(h)), s))
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("_shingles"), _seeded_md5(h)))
+        for h in range(num_hashes)
+    ])
+    return shingled.select("_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing at least one LSH band.
+
+    rows-per-band r = num_hashes/bands; collision prob ≈ 1-(1-j^r)^b.
+    The band key is md5 over the band's signature slice; the self-join is
+    per (band_idx, band_key) so hot buckets parallelize across bands.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, n)
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws(
+                        "|",
+                        *[F.element_at("sig", b * r + i + 1) for i in range(r)],
+                    )).alias("bkey"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("_id", "bk.band", "bk.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BLOCKS = 4
+
+
+def simhash32(text_col) -> "F.Column":
+    """32-bit SimHash over the 3-word shingles of the normalized text.
+
+    Shingle hash = first 8 hex chars of md5 (engine-neutral). Bit j of the
+    sketch is 1 iff sum over shingles of ±1 (sign of hash bit j) > 0.
+    Shingles, not words: on a small shared vocabulary word-level sketches
+    saturate (every doc has near-identical word sets) while the shingle
+    set is ~|vocab|^3 and keeps random pairs near hamming 16.
+    """
+    shingles = word_shingles(text_col, 3)
+    hashes = F.transform(
+        shingles,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    return simhash_from_hashes(hashes)
+
+
+def simhash_from_hashes(hashes: "F.Column") -> "F.Column":
+    """SimHash sketch from an already-computed array<long> of feature
+    hashes. Callers on the hot path should materialize the hash array in
+    its own projection first — the 32 per-bit aggregates each reference
+    it, and inlining would recompute md5+conv 32x per row."""
+    def _bit_weight(mask: int):
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bit_terms = []
+    for j in range(SIMHASH_BITS):
+        weight = F.aggregate(
+            hashes, F.lit(0).cast("long"), _bit_weight(1 << j)
+        )
+        bit_terms.append(
+            F.when(weight > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        )
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs (a < b) with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Blocked join on the four 8-bit bytes of the 32-bit sketch: any pair
+    within hamming distance 3 agrees on >= 1 whole block (pigeonhole), so
+    the blocked join returns EXACTLY the brute-force answer — same trick
+    as the reference's tree-pruned search guaranteeing the true neighbor
+    is in a visited partition (BKTree.h:799-827).
+    """
+    assert max_hamming <= SIMHASH_BLOCKS - 1, \
+        "4-block pigeonhole only covers radius blocks-1"
+    bits_per_block = SIMHASH_BITS // SIMHASH_BLOCKS
+    block_mask = (1 << bits_per_block) - 1
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            word_shingles(F.col(text_col), 3),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+        ).alias("_h"),
+    ).select("_id", simhash_from_hashes(F.col("_h")).alias("sim"))
+    # Block value = the masked byte in place (no shift needed: equality on
+    # sim & mask == equality on the block).
+    blocked = sh.select(
+        "_id", "sim",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("blk"),
+                F.col("sim").bitwiseAND(
+                    F.lit(block_mask << (bits_per_block * j))
+                ).alias("bval"),
+            )
+            for j in range(SIMHASH_BLOCKS)
+        ])).alias("b"),
+    ).select("_id", "sim", "b.blk", "b.bval")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.bval") == F.col("b.bval"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "sim_a", "sim_b", "hamming")

@@ -1,0 +1,263 @@
+"""Similarity search over embedding columns (array<float>).
+
+The Spark restatement of the reference's core search pipeline
+(SPANNIndex.cpp:293-395): brute-force cosine top-k is the exact baseline
+(the reference's truth-set generator, TruthSet.h:30-165), IVF bucket
+search is the scale path (head selection + posting-list probe,
+SPANNIndex.cpp:901-1041 SelectHead / ExtraStaticSearcher.h:260-411), and
+sign-LSH pairing mirrors the TPT random-hyperplane partitioning
+(NeighborhoodGraph.h:246-306).
+
+Determinism across Spark and the DuckDB oracle:
+- embeddings are quantized `CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)`
+  so dots and norms are exact integers;
+- cosine = dot / (sqrt(double(na)) * sqrt(double(nb))) — every step is a
+  correctly-rounded IEEE op on identical inputs, hence bit-identical;
+- ranking ties break on vec_id (the reference's VID tiebreak,
+  QueryResultSet.h:83-85).
+
+Scale notes: the query side is broadcast (queries << corpus — same shape
+as the reference's in-memory head index vs on-disk postings); the corpus
+scan stays whole-stage-codegen'd JVM expressions. IVF turns the O(Q·N)
+scan into O(Q·N·nprobe/C) with partition pruning on the bucket column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def quantize(v: Column) -> Column:
+    """array<float> -> array<bigint>, exact in both engines."""
+    return F.transform(
+        v, lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+
+
+def idot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+
+
+def cosine_from_quantized(dot: Column, na: Column, nb: Column) -> Column:
+    return dot.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+
+
+def _with_quantized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    q = quantize(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias("_id"), q.alias("_q")
+    ).withColumn("_norm", idot(F.col("_q"), F.col("_q")))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set against the corpus scan.
+
+    Returns (query_id, vec_id, cosine, rank) with rank 1..k per query,
+    self-matches excluded. One shuffle (the per-query window); the scoring
+    join is broadcast + codegen.
+    """
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    c = _with_quantized(corpus, id_col, vec_col)
+    q = _with_quantized(queries, qid, qvec).withColumnRenamed(
+        "_id", "_qid"
+    ).withColumnRenamed("_q", "_qq").withColumnRenamed("_norm", "_qnorm")
+    cond = F.col("_id") != F.col("_qid") if exclude_self else F.lit(True)
+    scored = (
+        c.join(F.broadcast(q), cond)
+        .withColumn(
+            "cosine",
+            cosine_from_quantized(
+                idot(F.col("_q"), F.col("_qq")),
+                F.col("_norm"),
+                F.col("_qnorm"),
+            ),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("cosine").desc(), F.col("_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("_id").alias("vec_id"),
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs (a < b) with cosine >= threshold.
+
+    Quadratic by construction — the correctness baseline. At scale use
+    `lsh_near_dup_pairs` to generate candidates and verify them with this
+    scoring expression.
+    """
+    v = _with_quantized(df, id_col, vec_col)
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .withColumn(
+            "cosine",
+            cosine_from_quantized(
+                idot(F.col("a._q"), F.col("b._q")),
+                F.col("a._norm"),
+                F.col("b._norm"),
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            "cosine",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) bucketed search — the SPANN shape
+# ---------------------------------------------------------------------------
+
+def select_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic head selection: the n_centroids rows with the
+    smallest xxhash64(id) — a seeded uniform sample, the moral equivalent
+    of the reference's SelectHead ratio sampling (SPANNIndex.cpp:901-938).
+    """
+    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    return (
+        corpus.select(id_col, vec_col)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+
+
+def assign_buckets(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment via broadcast argmin (reference J1,
+    VectorIndex.cpp:1144-1254). Adds a `bucket` column; write with
+    .partitionBy('bucket') to get partition-pruned probes."""
+    c = _with_quantized(corpus, id_col, vec_col)
+    cent = _with_quantized(centroids, "centroid_id", "centroid_vec") \
+        .withColumnRenamed("_id", "_cid") \
+        .withColumnRenamed("_q", "_cq") \
+        .withColumnRenamed("_norm", "_cnorm")
+    scored = c.join(F.broadcast(cent)).withColumn(
+        "cosine",
+        cosine_from_quantized(
+            idot(F.col("_q"), F.col("_cq")), F.col("_norm"), F.col("_cnorm")
+        ),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("cosine").desc(), F.col("_cid").asc()
+    )
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col("_id").alias(id_col), F.col("_cid").alias("bucket"))
+    )
+    return corpus.join(assigned, id_col)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the nprobe nearest buckets per query.
+
+    recall < 1 by design; tests gate recall@k vs brute_force_topk, the
+    reference's own accuracy harness shape (TruthSet.h:242-285).
+    """
+    centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
+    bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
+    # nprobe nearest centroids per query (tiny broadcast join)
+    probes = brute_force_topk(
+        centroids, queries, k=nprobe,
+        id_col="centroid_id", vec_col="centroid_vec",
+        query_id_col=id_col, query_vec_col=vec_col, exclude_self=False,
+    ).select(
+        F.col("query_id"), F.col("vec_id").alias("bucket")
+    )
+    # The query column name on brute_force_topk's corpus side is centroid_id;
+    # rebuild queries with their vectors for the final scoring pass.
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    candidates = (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(qvec), "query_id")
+    )
+    qq = quantize(F.col("_qvec"))
+    cq = quantize(F.col(vec_col))
+    scored = candidates.withColumn(
+        "cosine",
+        cosine_from_quantized(idot(cq, qq), idot(cq, cq), idot(qq, qq)),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("vec_id"), "cosine",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
+    """Mean per-query recall of `approx` vs `exact` (both from *_topk).
+    The reference's CalculateRecall (TruthSet.h:242-285) as one join."""
+    hits = approx.join(exact, ["query_id", "vec_id"], "left_semi") \
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    truth = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    per_q = truth.join(hits, "query_id", "left").select(
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("r")
+    )
+    return per_q.agg(F.avg("r")).collect()[0][0]

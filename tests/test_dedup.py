@@ -1,0 +1,95 @@
+"""Dedup operator tests: planted duplicates + blocked-join losslessness.
+
+Mirrors the reference's deterministic-golden style (AlgoTest.cpp:175-245)
+— hand-built corpus with known dup structure — plus the invariant style of
+Check() (BKTIndex.cpp:1207-1245): the LSH/blocked fast paths must agree
+with their brute-force definitions.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from sptag_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash32,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the birds sing in the tall "
+        "green trees near the old stone wall by the river")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),          # near dup of 0
+        (3, "completely different text about spark catalyst optimizer "
+            "plans shuffles partitions and adaptive query execution with "
+            "broadcast joins and whole stage code generation kernels"),
+        (4, "short doc"),                             # < 3 words after norm
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert out[0]["canonical_doc_id"] == 0 and out[0]["is_duplicate"] == 0
+    assert out[1]["canonical_doc_id"] == 0 and out[1]["is_duplicate"] == 1
+    assert out[1]["n_copies"] == 2
+    assert out[2]["is_duplicate"] == 0  # near dup is NOT an exact dup
+    assert out[4]["canonical_doc_id"] == 4
+
+
+def test_jaccard_finds_near_dup_only(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert 0.5 <= pairs[(0, 2)] < 1.0    # near dup
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_jaccard_max_df_prunes_hot_shingles(docs):
+    # max_df=1 keeps only shingles unique to one doc -> no pairs at all
+    assert jaccard_pairs(docs, threshold=0.1, max_df=1).count() == 0
+
+
+def test_minhash_lsh_candidates(docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_pairs(docs, num_hashes=12, bands=4).collect()}
+    assert (0, 1) in pairs          # identical docs always collide
+    assert (0, 3) not in pairs      # unrelated docs shouldn't
+
+
+def test_simhash_blocked_join_is_lossless(docs, spark):
+    """The 4-block pigeonhole join must return exactly the brute-force
+    hamming<=3 pairs (reference invariant style, Check())."""
+    sims = {r["doc_id"]: r["sim"] for r in docs.select(
+        "doc_id", simhash32(F.col("text")).alias("sim")).collect()}
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    blocked = {(r["id_a"], r["id_b"])
+               for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert blocked == brute
+    assert (0, 1) in blocked  # exact dups have hamming 0
+
+
+def test_sf001_documents_planted_dups(spark):
+    """The driver corpus plants near-duplicates; Jaccard at 0.5 must find a
+    consistent set with the expected shape (pairs among real doc ids)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = jaccard_pairs(docs, threshold=0.5).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["jaccard"] >= 0.5

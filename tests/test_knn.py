@@ -1,0 +1,85 @@
+"""Similarity-search tests: numpy oracle, self-NN invariant, IVF recall.
+
+The reference gates its approximate structures on recall vs a brute-force
+truth set (PerfTest.cpp:180-261, TruthSet.h:242-285) and requires every
+row to be its own nearest neighbor (Check(), BKTIndex.cpp:1207-1245).
+Same gates here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sptag_spark.operators.knn import (
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    ivf_topk,
+    recall_at_k,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def _numpy_topk(pdf, query_ids, k):
+    """Oracle replicating the engine's quantized-cosine definition."""
+    ids = pdf["vec_id"].to_numpy()
+    q = np.array([np.round(np.asarray(v, dtype=np.float64) * 1000)
+                  for v in pdf["embedding"]])
+    norms = np.sqrt((q * q).sum(axis=1))
+    out = {}
+    for qi in query_ids:
+        qv = q[ids == qi][0]
+        qn = norms[ids == qi][0]
+        cos = (q @ qv) / (norms * qn)
+        order = sorted(range(len(ids)),
+                       key=lambda i: (-cos[i], ids[i]))
+        out[qi] = [ids[i] for i in order if ids[i] != qi][:k]
+    return out
+
+
+def test_brute_force_matches_numpy(emb):
+    got = brute_force_topk(emb, emb.filter("vec_id < 5"), k=10).collect()
+    oracle = _numpy_topk(emb.toPandas(), range(5), 10)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qi in range(5):
+        mine = [v for _, v in sorted(by_q[qi])]
+        assert mine == list(oracle[qi]), f"query {qi}"
+
+
+def test_self_is_nearest(emb):
+    """Reference Check(): with self-matches allowed, rank 1 is the query."""
+    got = brute_force_topk(
+        emb, emb.filter("vec_id < 20"), k=1, exclude_self=False
+    ).collect()
+    assert all(r["vec_id"] == r["query_id"] and r["rank"] == 1 for r in got)
+    assert len(got) == 20
+
+
+def test_near_dup_pairs_symmetric_threshold(emb):
+    pairs = cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine"] >= 0.4
+
+
+def test_ivf_recall_gate(emb):
+    queries = emb.filter("vec_id < 16")
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    r = recall_at_k(approx, exact)
+    # nprobe=4 of 16 buckets; random-ish embeddings make IVF weak by design
+    # — gate on "clearly better than the 4/16 random-bucket floor".
+    assert r >= 0.4, f"recall@10 = {r}"
+
+
+def test_recall_of_exact_vs_itself_is_one(emb):
+    exact = brute_force_topk(emb, emb.filter("vec_id < 5"), k=10)
+    assert recall_at_k(exact, exact) == 1.0

@@ -1,0 +1,83 @@
+"""Text-analysis kernel tests on hand-built strings with exact expected
+values (reference deterministic-golden style, AlgoTest.cpp:175-245)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sptag_spark.functions.text import (
+    normalize_text,
+    with_lang_id,
+    with_text_stats,
+    word_shingles,
+)
+
+
+@pytest.fixture(scope="module")
+def one(spark):
+    def run(text, col):
+        df = spark.createDataFrame([(text,)], ["text"])
+        return df.select(col.alias("v")).collect()[0]["v"]
+    return run
+
+
+def test_text_stats_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat, the cat ran!")], ["doc_id", "text"]
+    )
+    row = with_text_stats(df).collect()[0]
+    assert row["n_ws_tokens"] == 6
+    # BPE-ish: the|cat|sat|,|the|cat|ran|!
+    assert row["n_bpe_tokens"] == 8
+    assert row["n_distinct_tokens"] == 4   # {the, cat, 'sat,', 'ran!'}
+    assert row["n_stopwords"] == 2          # 'the' twice
+    assert row["n_punct"] == 2              # ',' and '!'
+    assert row["punct_ratio"] == 2 / len("the cat sat, the cat ran!")
+
+
+def test_quality_score_formula(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    row = with_text_stats(df).collect()[0]
+    # distinct 3/3, stopwords: 'a' -> 1/3, punct 0
+    assert row["quality_score"] == pytest.approx(
+        1.0 * 0.4 + (1 / 3) * 0.4 + 1.0 * 0.2
+    )
+
+
+def test_normalize(one):
+    assert one("  Hello,   WORLD!! 42 ", normalize_text(F.col("text"))) \
+        == "hello world 42"
+
+
+def test_shingles(one):
+    assert sorted(one("a b c d", word_shingles(F.col("text"), 3))) \
+        == ["a b c", "b c d"]
+    # shorter than n -> whole normalized text as the one shingle
+    assert one("a b", word_shingles(F.col("text"), 3)) == ["a b"]
+    # duplicates collapse (distinct shingle set)
+    assert one("x y x y x y x y", word_shingles(F.col("text"), 3)) \
+        == ["x y x", "y x y"]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "le chat et la maison les fleurs"),
+            (3, "der hund und die katze ist nicht"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_guess"] for r in with_lang_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "fr"
+    assert got[3] == "de"
+    assert got[4] == "und"
+
+
+def test_lang_id_tiebreak_lexicographic(spark):
+    # 'la' is a marker for both es and fr; equal scores -> 'es' (sorted first)
+    df = spark.createDataFrame([(1, "la la")], ["doc_id", "text"])
+    assert with_lang_id(df).collect()[0]["lang_guess"] == "es"
