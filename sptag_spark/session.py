@@ -20,6 +20,11 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Default 10k-row Arrow batches throttle mapInArrow/mapInPandas at high
+    # core counts (one JVM<->Python round trip per batch; the handshakes
+    # serialize). 64k rows x ~260 tokens x 4B ~= 64 MB in flight per worker
+    # peak — well within executor memory at any realistic config.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -28,6 +33,7 @@ _DEFAULTS = {
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.shuffle.partitions": "32",
 }
 

@@ -1,0 +1,102 @@
+"""Multimodal plumbing tests: schema, determinism, batching, pruning.
+
+The decode step is a documented deterministic fake (no codec libs in this
+container); what's under test is the Spark-side contract — schemas,
+mapInPandas batch shape, partition behavior, and that the real-decoder
+slots fail loudly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sptag_spark.functions.multimodal import (
+    AUDIO_FEATURES_SCHEMA,
+    IMAGE_FEATURES_SCHEMA,
+    MEDIA_SCHEMA,
+    decode_audio_real,
+    decode_image_fake,
+    decode_image_real,
+    extract_audio_features,
+    extract_image_features,
+    resize_images,
+    sample_frames,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media(spark, 60, seed=42).cache()
+
+
+def test_media_schema_and_determinism(spark, media):
+    # simpleString ignores nullability (differs between literal-built and
+    # declared schemas) but pins every name and type, nested included.
+    assert media.schema.simpleString() == MEDIA_SCHEMA.simpleString()
+    a = {r["media_id"]: bytes(r["data"]) for r in media.collect()}
+    b = {r["media_id"]: bytes(r["data"])
+         for r in synth_media(spark, 60, seed=42).collect()}
+    assert a == b                       # pure function of (id, seed)
+    assert all(len(v) == 128 for v in a.values())
+    c = {r["media_id"]: bytes(r["data"])
+         for r in synth_media(spark, 60, seed=7).collect()}
+    assert a[0] != c[0]                 # seed changes payload
+
+
+def test_real_decoder_slots_fail_loudly():
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"x", {})
+    with pytest.raises(NotImplementedError):
+        decode_audio_real(b"x", {})
+
+
+def test_image_features(media):
+    imgs = media.filter("kind = 'image'")
+    out = extract_image_features(imgs)
+    assert out.schema == IMAGE_FEATURES_SCHEMA
+    rows = out.collect()
+    assert len(rows) == imgs.count()
+    for r in rows:
+        assert 0 <= r["mean_r"] <= 255 and 0 <= r["std_all"] <= 255
+        assert 0 <= r["phash16"] < (1 << 16)
+    # determinism: same row twice -> same features
+    again = {r["media_id"]: r for r in extract_image_features(imgs).collect()}
+    assert all(again[r["media_id"]] == r for r in rows)
+
+
+def test_image_features_match_local_decoder(media):
+    row = media.filter("kind = 'image'").first()
+    img = decode_image_fake(bytes(row["data"]), row["meta"].asDict())
+    got = extract_image_features(
+        media.filter(f"media_id = {row['media_id']}")
+    ).collect()[0]
+    assert got["mean_r"] == pytest.approx(img[:, :, 0].mean())
+    assert got["std_all"] == pytest.approx(float(img.astype(np.float64).std()))
+
+
+def test_resize_shape(media):
+    out = resize_images(media.filter("kind = 'image'"), out_h=8, out_w=8)
+    r = out.first()
+    assert len(bytes(r["thumb"])) == 8 * 8 * 3
+    assert (r["height"], r["width"]) == (8, 8)
+
+
+def test_frame_sampling_is_jvm_side(media):
+    vids = media.filter("kind = 'video'")
+    out = sample_frames(vids, every_k=2)
+    pdf = out.select("media_id", "frame_idx").toPandas()
+    meta = {r["media_id"]: r["meta"]["n_frames"] for r in vids.collect()}
+    for mid, grp in pdf.groupby("media_id"):
+        expect = list(range(0, meta[mid], 2))
+        assert sorted(grp["frame_idx"]) == expect
+    # no Python stage in the plan: sample_frames is pure column expressions
+    assert "mapInPandas" not in out._jdf.queryExecution().toString().lower()
+
+
+def test_audio_features(media):
+    out = extract_audio_features(media.filter("kind = 'audio'"))
+    assert out.schema == AUDIO_FEATURES_SCHEMA
+    for r in out.collect():
+        assert r["n_samples"] == 16000
+        assert r["rms"] > 0 and 0 <= r["zero_cross_rate"] <= 1

@@ -1,0 +1,124 @@
+"""Structured Streaming tests, driven deterministically with availableNow
+file sources (no timing races).
+
+Gates: (1) streaming session_window agrees with the batch gap-trick
+sessionizer on real data; (2) sliding-window stream agrees with the same
+aggregation run in batch; (3) the append sink is exactly-once across a
+restart with the same checkpoint (reference T7 checkpoint/recovery,
+SPANN/Index.h:256-281)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sptag_spark.operators.sessionize import session_aggregate
+from sptag_spark.streaming.jobs import (
+    incremental_append,
+    read_events_stream,
+    run_available_now,
+    stream_sessionize,
+    stream_sliding_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Re-materialize sf0.001 events as a clean parquet dir (the driver
+    file is a single .parquet file; streaming sources want a directory)."""
+    out = str(tmp_path_factory.mktemp("events_src"))
+    spark.read.parquet(f"{SF}/events.parquet").repartition(4) \
+        .write.mode("overwrite").parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").schema
+
+
+def test_stream_sessionize_matches_batch(spark, events_dir, events_schema):
+    stream = read_events_stream(spark, events_dir, events_schema)
+    sess = stream_sessionize(stream, keys=["user_id"], ts="ts",
+                             gap_seconds=1800, watermark="0 seconds")
+    run_available_now(sess, "sess_stream", output_mode="complete")
+    got = {
+        (r["user_id"], r["session_start"].replace(tzinfo=None),
+         r["session_end"].replace(tzinfo=None), r["n_events"])
+        for r in spark.table("sess_stream").collect()
+    }
+    batch = session_aggregate(
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_id", "user_id", "ts"),
+        keys=["user_id"], ts="ts", gap_seconds=1800,
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    # session_window closes at gap >= g, the batch trick at gap > g; real
+    # exact-boundary ties would surface as a diff — assert full equality
+    # and let a tie fail loudly (none exist in the driver corpus).
+    assert got == want
+
+
+def test_stream_sliding_counts_matches_batch(spark, events_dir, events_schema):
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, events_dir, events_schema)
+    out = stream_sliding_counts(
+        stream, keys=["event_type"], ts="ts",
+        window_seconds=3600, slide_seconds=1800,
+        watermark="0 seconds", value_col="value",
+    )
+    run_available_now(out, "slide_stream", output_mode="complete")
+    got = spark.table("slide_stream")
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    want = (
+        ev.groupBy(F.window("ts", "3600 seconds", "1800 seconds"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"),
+             F.min("value").alias("min_value"),
+             F.max("value").alias("max_value"))
+        .select("event_type",
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "n_events", "sum_value", "min_value", "max_value")
+    )
+    key = lambda r: (r["event_type"],
+                     r["window_start"].replace(tzinfo=None))
+    g = {key(r): (r["n_events"], r["min_value"], r["max_value"])
+         for r in got.collect()}
+    w = {key(r): (r["n_events"], r["min_value"], r["max_value"])
+         for r in want.collect()}
+    assert g == w
+
+
+def test_incremental_append_exactly_once(spark, events_dir, events_schema,
+                                         tmp_path):
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    n_src = spark.read.parquet(events_dir).count()
+
+    q = incremental_append(
+        read_events_stream(spark, events_dir, events_schema,
+                           max_files_per_trigger=1),
+        out, ckpt, partition_by=["event_type"],
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(out).count() == n_src
+
+    # restart with the same checkpoint: nothing new -> no duplicates
+    q2 = incremental_append(
+        read_events_stream(spark, events_dir, events_schema), out, ckpt
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n_src
+    # partition pruning works on the sink layout
+    one = spark.read.parquet(out).filter("event_type = 'purchase'")
+    assert one.count() == spark.read.parquet(events_dir) \
+        .filter("event_type = 'purchase'").count()
