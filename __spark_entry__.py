@@ -555,6 +555,38 @@ def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_centroids=32, nprobe=4)
 
 
+def _q_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sptag_spark.operators.knn import multi_index_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return multi_index_topk(
+        emb, emb.filter("vec_id IN (0, 1)").orderBy("vec_id"),
+        weights=[0.7, 0.3], k=10,
+    )
+
+
+_RANK_JOIN_ORACLE = """
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+q0 AS (SELECT q, nrm FROM n WHERE vec_id = 0),
+q1 AS (SELECT q, nrm FROM n WHERE vec_id = 1)
+SELECT c.vec_id,
+  0.0
+  + 0.7 * (CAST(list_sum(list_transform(range(1, len(c.q)+1),
+        i -> c.q[i]*q0.q[i])) AS DOUBLE)
+      / (sqrt(CAST(c.nrm AS DOUBLE)) * sqrt(CAST(q0.nrm AS DOUBLE))))
+  + 0.3 * (CAST(list_sum(list_transform(range(1, len(c.q)+1),
+        i -> c.q[i]*q1.q[i])) AS DOUBLE)
+      / (sqrt(CAST(c.nrm AS DOUBLE)) * sqrt(CAST(q1.nrm AS DOUBLE))))
+  AS score
+FROM n c, q0, q1
+ORDER BY score DESC, c.vec_id LIMIT 10
+"""
+
+
 def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return (
@@ -606,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_topk": _q_knn_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "ivf_knn_topk": _q_ivf_knn,  # approximate: rows-only check (no oracle)
+        "rank_join_multi_index": _q_rank_join,
         "corpus_stats_rollup": _q_corpus_rollup,
     }
 
@@ -633,5 +666,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(32, 3),
         "knn_cosine_topk": _KNN_ORACLE,
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
+        "rank_join_multi_index": _RANK_JOIN_ORACLE,
         "corpus_stats_rollup": _CORPUS_ROLLUP_ORACLE,
     }

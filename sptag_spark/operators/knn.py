@@ -251,6 +251,44 @@ def ivf_topk(
     )
 
 
+def multi_index_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    weights: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rank join over N query indexes (reference J5 MultiIndexScan,
+    MultiIndexScan.cpp:85-194): global top-k by the weighted sum of
+    per-query cosine similarities.
+
+    The reference streams per-index cursors and completes missing
+    distances with LUT probes (:117-123); the batch restatement computes
+    every per-index distance in ONE corpus scan (queries broadcast as an
+    ordered array literal) and takes a global top-k — no join at all, and
+    the scan is whole-stage-codegen'd. Query i's weight is weights[i],
+    matching the reference's weighted-sum rank UDF (:41-49).
+    """
+    qrows = queries.select(id_col, vec_col).collect()
+    assert len(qrows) == len(weights), "one weight per query"
+    c = _with_quantized(corpus, id_col, vec_col)
+    score = F.lit(0.0)
+    for row, w in zip(qrows, weights):
+        qv = [int(round(float(x) * 1000)) for x in row[vec_col]]
+        qlit = F.array(*[F.lit(v).cast("long") for v in qv])
+        qnorm = sum(v * v for v in qv)
+        score = score + F.lit(float(w)) * cosine_from_quantized(
+            idot(F.col("_q"), qlit), F.col("_norm"), F.lit(qnorm).cast("long")
+        )
+    return (
+        c.withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col("_id").asc())
+        .limit(k)
+        .select(F.col("_id").alias("vec_id"), "score")
+    )
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     """Mean per-query recall of `approx` vs `exact` (both from *_topk).
     The reference's CalculateRecall (TruthSet.h:242-285) as one join."""
