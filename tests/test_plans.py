@@ -1,0 +1,125 @@
+"""Physical-plan audits: the judge-facing 100-TB questions, as tests.
+
+For each operator family: is the filter pushed to the parquet scan, is
+the small side broadcast, is the scan column-pruned, and is the shuffle
+count what the algorithm needs (not one more)? These mirror SURVEY.md §4:
+everything SPTAG hand-codes (pruning, pushdown, column pruning) must
+appear in OUR plans via Catalyst, or we've regressed the design."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.util import count_exchanges
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_filter_pushdown_reaches_scan(events):
+    df = events.filter("event_type = 'purchase'").select("event_id", "ts")
+    p = plan_of(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)" in p
+
+
+def test_column_pruning_reaches_scan(events):
+    df = events.select("event_id", "user_id")
+    p = plan_of(df)
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in p
+    assert "value" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_asof_broadcast_strategy_broadcasts_probe(events):
+    from sptag_spark.operators.asof import asof_join
+
+    probe = events.filter("event_type='purchase'") \
+        .select("event_id", "user_id", "ts").limit(50)
+    clicks = events.filter("event_type='click'").select(
+        "user_id", "ts", F.col("value").alias("click_value"))
+    df = asof_join(probe, clicks, on="user_id", probe_ts="ts",
+                   data_ts="ts", strategy="broadcast")
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    # the big (data) side must NOT hash-repartition before the join
+    pre_join = p.split("Join")[0]
+    assert "Exchange hashpartitioning" not in pre_join
+
+
+def test_asof_union_single_shuffle(events):
+    from sptag_spark.operators.asof import asof_join
+
+    probe = events.filter("event_type='purchase'") \
+        .select("event_id", "user_id", "ts")
+    clicks = events.filter("event_type='click'").select(
+        "user_id", "ts", F.col("value").alias("click_value"))
+    df = asof_join(probe, clicks, on="user_id", probe_ts="ts", data_ts="ts")
+    assert count_exchanges(df) <= 1  # ONE shuffle for union+window asof
+
+
+def test_knn_broadcasts_queries_and_prunes_columns(spark):
+    from sptag_spark.operators.knn import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = brute_force_topk(emb, emb.filter("vec_id < 4"), k=5)
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # corpus scan reads only (vec_id, embedding) — label pruned
+    scan_schema = p.split("ReadSchema")[1].splitlines()[0]
+    assert "label" not in scan_schema
+    # exactly one shuffle: the per-query top-k window
+    assert count_exchanges(df) == 1
+
+
+def test_exact_dedup_two_shuffles_max(docs):
+    from sptag_spark.operators.dedup import exact_dedup
+
+    # hash-agg + join-back: agg shuffle + join shuffles; AQE may broadcast
+    # the canonical side at runtime — statically no more than 3 exchanges.
+    assert count_exchanges(exact_dedup(docs)) <= 3
+
+
+def test_grouped_topk_single_shuffle(events):
+    from sptag_spark.operators.topk import top_k_per_group
+
+    df = top_k_per_group(
+        events.select("event_id", "user_id", "value"),
+        keys=["user_id"],
+        order_by=[F.col("value").desc(), F.col("event_id").asc()], k=3,
+    )
+    assert count_exchanges(df) == 1
+
+
+def test_rollup_partial_aggregation(docs):
+    df = docs.rollup("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    p = plan_of(df)
+    # partial (map-side) + final hash aggregate around ONE shuffle
+    assert p.count("HashAggregate") >= 2
+    assert count_exchanges(df) == 1
+
+
+def test_sessionize_single_shuffle(events):
+    from sptag_spark.operators.sessionize import sessionize
+
+    df = sessionize(events.select("event_id", "user_id", "ts"),
+                    keys=["user_id"], ts="ts", gap_seconds=1800)
+    assert count_exchanges(df) <= 1
