@@ -109,27 +109,38 @@ _ARROW_FEATURES = [
 ]
 
 
-def arrow_features_schema(base_schema: StructType) -> StructType:
+def arrow_features_schema(
+    base_schema: StructType, drop: tuple[str, ...] = ()
+) -> StructType:
     return StructType(
-        list(base_schema.fields)
+        [f for f in base_schema.fields if f.name not in drop]
         + [StructField(n, t, True) for n, t in _ARROW_FEATURES]
     )
 
 
 def _batch_features(tokens_arr: pa.Array, small_threshold: int = 1000) -> dict:
-    """Vectorized features over one Arrow ListArray of int32 tokens."""
+    """Vectorized features over one Arrow ListArray of int32 tokens.
+
+    Bandwidth-lean by design (the kernel is memory-bound, not FLOP-bound):
+    the flat token buffer stays int32 end-to-end (row sums of <=4096
+    tokens, each < 2^16, stay < 2^28 < 2^31, so int32 reduceat cannot
+    overflow), and
+    the distinct-count sort runs on uint32 keys (row_id<<16 | token) —
+    legal because vocab < 2^16 and Arrow batches are capped at 2^16 rows
+    (session.py maxRecordsPerBatch) — halving the bytes the sort moves.
+    """
     if isinstance(tokens_arr, pa.ChunkedArray):
         tokens_arr = tokens_arr.combine_chunks()
     la = tokens_arr
     offsets = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = la.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat32 = la.values.to_numpy(zero_copy_only=False)
     starts, ends = offsets[:-1], offsets[1:]
     lens = ends - starts
     n = len(lens)
     # reduceat requires indices < len(values); empty rows (start==end, or
     # start==len at the tail) are masked to 0 after the fact.
-    safe_starts = np.minimum(starts, max(len(flat) - 1, 0))
-    if len(flat) == 0:
+    safe_starts = np.minimum(starts, max(len(flat32) - 1, 0))
+    if len(flat32) == 0:
         z = np.zeros(n)
         return {
             "tok_sum": z.astype(np.int64),
@@ -138,24 +149,31 @@ def _batch_features(tokens_arr: pa.Array, small_threshold: int = 1000) -> dict:
             "tok_frac_small": z,
             "tok_fingerprint": z.astype(np.int64),
         }
-    sums = np.add.reduceat(flat, safe_starts)
+    sums = np.add.reduceat(flat32, safe_starts).astype(np.int64)
     sums[lens == 0] = 0
     means = np.divide(sums, lens, out=np.zeros(n), where=lens > 0)
-    small = np.add.reduceat((flat < small_threshold).astype(np.int64), safe_starts)
+    small = np.add.reduceat((flat32 < small_threshold).astype(np.int32),
+                            safe_starts).astype(np.int64)
     small[lens == 0] = 0
     frac_small = np.divide(small, lens, out=np.zeros(n), where=lens > 0)
-    # distinct per row: sort within rows via (row_id * VOCAB_PAD + token)
-    row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
-    keyed = row_id * np.int64(1 << 32) + flat
-    keyed.sort(kind="stable")
+    # distinct per row: unstable sort of packed (row_id << 16 | token)
+    # uint32 keys, then count segment-local value changes.
+    assert (n <= (1 << 16) and flat32.max(initial=0) < (1 << 16)
+            and lens.max(initial=0) <= _MAX_LEN), \
+        "uint32 key packing needs rows<=2^16, vocab<2^16, len<=4096"
+    row_id = np.repeat(np.arange(n, dtype=np.uint32), lens)
+    keyed = (row_id << np.uint32(16)) | flat32.astype(np.uint32)
+    keyed.sort()
     new_val = np.empty(len(keyed), dtype=bool)
     new_val[0] = True
     np.not_equal(keyed[1:], keyed[:-1], out=new_val[1:])
-    distinct = np.add.reduceat(new_val.astype(np.int64), safe_starts)
+    distinct = np.add.reduceat(new_val.astype(np.int32),
+                               safe_starts).astype(np.int64)
     distinct[lens == 0] = 0
-    # positional polynomial fingerprint mod p (exact int64 arithmetic)
-    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens)
-    contrib = (flat * _POWS[pos]) % FP_MOD
+    # positional polynomial fingerprint mod p; int32*int64 promotes to
+    # int64, exact (max product < 2^16 * 2^31)
+    pos = np.arange(len(flat32), dtype=np.int64) - np.repeat(starts, lens)
+    contrib = (flat32 * _POWS[pos]) % FP_MOD
     fp = np.add.reduceat(contrib, safe_starts) % FP_MOD
     fp[lens == 0] = 0
     return {
@@ -168,14 +186,22 @@ def _batch_features(tokens_arr: pa.Array, small_threshold: int = 1000) -> dict:
 
 
 def with_arrow_token_features(
-    df: DataFrame, tokens_col: str = "tokens"
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    drop_tokens: bool = False,
 ) -> DataFrame:
-    out_schema = arrow_features_schema(df.schema)
+    """drop_tokens=True omits the token arrays from the output batches —
+    they are by far the widest column, and when downstream stages only
+    consume the features this halves the Python->JVM Arrow traffic."""
+    drop = (tokens_col,) if drop_tokens else ()
+    out_schema = arrow_features_schema(df.schema, drop=drop)
+    keep_idx = [i for i, f in enumerate(df.schema.fields)
+                if f.name not in drop]
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             feats = _batch_features(batch.column(tokens_col))
-            arrays = list(batch.columns) + [
+            arrays = [batch.column(i) for i in keep_idx] + [
                 pa.array(feats["tok_sum"], pa.int64()),
                 pa.array(feats["tok_mean"], pa.float64()),
                 pa.array(feats["tok_distinct"], pa.int64()),

@@ -36,8 +36,12 @@ FEATURE_COLS = [
 
 
 def featurize(sequences: DataFrame) -> DataFrame:
-    """Per-row token features + per-doc windowed features (one shuffle)."""
-    feats = with_arrow_token_features(sequences)
+    """Per-row token features + per-doc windowed features (one shuffle).
+
+    Token arrays are dropped at the Arrow stage: every downstream consumer
+    (windows, as-of serve) reads only the scalar features, and the raw
+    arrays are the bulk of the bytes (IPC + shuffle + sort savings)."""
+    feats = with_arrow_token_features(sequences, drop_tokens=True)
     feats = with_lag_lead(feats, ["doc_id"], ["ts", "version"], ["n_tok"], [1])
     feats = rolling_rows(
         feats, ["doc_id"], ["ts", "version"], "n_tok", 3,
