@@ -1,0 +1,90 @@
+"""Format-reader tests: byte-exact roundtrips for the reference's DEFAULT
+/ XVEC / TXT vector formats (DefinitionList.h:107-117), across value
+types, plus multi-file parallelism."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from sptag_spark.sources.readers import (
+    read_default_binary,
+    read_txt_vectors,
+    read_xvec,
+    write_default_binary,
+    write_xvec,
+)
+
+
+@pytest.fixture(scope="module")
+def mats():
+    rng = np.random.default_rng(42)
+    return {
+        "float32": rng.normal(0, 1, (100, 16)).astype(np.float32),
+        "int8": rng.integers(-128, 128, (100, 16)).astype(np.int8),
+        "uint8": rng.integers(0, 256, (100, 16)).astype(np.uint8),
+        "int16": rng.integers(-1000, 1000, (100, 16)).astype(np.int16),
+    }
+
+
+@pytest.mark.parametrize("vt", ["float32", "int8", "uint8", "int16"])
+def test_default_roundtrip(spark, tmp_path, mats, vt):
+    d = tmp_path / f"default_{vt}"
+    d.mkdir()
+    write_default_binary(mats[vt], str(d / "part0.bin"), vt)
+    got = read_default_binary(spark, str(d), vt).orderBy("row_id").toPandas()
+    arr = np.array(got["vector"].tolist())
+    assert np.array_equal(arr, mats[vt].astype(arr.dtype))
+
+
+@pytest.mark.parametrize("vt", ["float32", "uint8"])
+def test_xvec_roundtrip(spark, tmp_path, mats, vt):
+    d = tmp_path / f"xvec_{vt}"
+    d.mkdir()
+    write_xvec(mats[vt], str(d / "part0.xvec"), vt)
+    got = read_xvec(spark, str(d), vt).orderBy("row_id").toPandas()
+    arr = np.array(got["vector"].tolist())
+    assert np.array_equal(arr, mats[vt].astype(arr.dtype))
+
+
+def test_default_multi_file_parallel(spark, tmp_path, mats):
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(4):
+        write_default_binary(mats["float32"][i * 25:(i + 1) * 25],
+                             str(d / f"part{i}.bin"), "float32")
+    df = read_default_binary(spark, str(d), "float32")
+    assert df.count() == 100
+    # one task per file: the scan parallelizes across files
+    assert df.rdd.getNumPartitions() >= 2
+    # per-file row ids restart at 0
+    assert df.filter("row_id = 0").count() == 4
+
+
+def test_txt_reader(spark, tmp_path):
+    p = tmp_path / "vecs.txt"
+    p.write_text("doc_a\t1.5|2.5|3.5\ndoc_b\t4.0|5.0|6.0\n")
+    got = read_txt_vectors(spark, str(p), "float32").orderBy("metadata") \
+        .collect()
+    assert got[0]["metadata"] == "doc_a"
+    assert got[0]["vector"] == [1.5, 2.5, 3.5]
+    assert got[1]["vector"] == [4.0, 5.0, 6.0]
+
+
+def test_txt_reader_int(spark, tmp_path):
+    p = tmp_path / "ivecs.txt"
+    p.write_text("m0\t1|2|3\n")
+    got = read_txt_vectors(spark, str(p), "int8").collect()[0]
+    assert got["vector"] == [1, 2, 3]
+
+
+def test_xvec_corrupt_fails_loudly(spark, tmp_path, mats):
+    d = tmp_path / "bad"
+    d.mkdir()
+    write_xvec(mats["float32"], str(d / "p.xvec"), "float32")
+    with open(d / "p.xvec", "ab") as f:
+        f.write(b"xx")  # trailing garbage
+    with pytest.raises(Exception):
+        read_xvec(spark, str(d), "float32").count()
