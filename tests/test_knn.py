@@ -23,7 +23,9 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()  # cached plans shadow parquet scans for other modules
 
 
 def _numpy_topk(pdf, query_ids, k):
