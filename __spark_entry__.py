@@ -526,9 +526,13 @@ WHERE rank <= 10
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sptag_spark.operators.knn import cosine_near_dup_pairs
+    # blocked matmul path: bit-identical to the expression path (tested),
+    # O(N^2/B^2) per task instead of a materialized N^2 join
+    from sptag_spark.operators.knn import cosine_near_dup_pairs_blocked
 
-    return cosine_near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+    return cosine_near_dup_pairs_blocked(
+        _embeddings(spark, sf_dir), threshold=0.4, n_blocks=8
+    )
 
 
 _EMB_NEAR_DUP_ORACLE = """

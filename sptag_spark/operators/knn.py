@@ -141,6 +141,103 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via blocked matrix products —
+    the scale path for the same semantics as cosine_near_dup_pairs.
+
+    The reference's TPT-leaf all-pairs build scores every pair inside a
+    bounded leaf (NeighborhoodGraph.h:328-442); here rows hash into
+    n_blocks blocks, every unordered block pair becomes one task group,
+    and inside the group the pairwise dots are ONE exact int64 numpy
+    matmul (no per-pair expression evaluation, no 4M-row join
+    materialization). Each row replicates n_blocks times; per-task memory
+    is (N/n_blocks)^2 — pick n_blocks so a block fits comfortably.
+
+    Output is bit-identical to the expression path: integer dots and
+    norms, cosine = dot / (sqrt(na)*sqrt(nb)) in IEEE float64.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    q = _with_quantized(df, id_col, vec_col)
+    blk = q.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int")
+    )
+    # row in block b joins every unordered pair {i,j} that contains b
+    def pairs_for(b: "F.Column") -> "F.Column":
+        entries = []
+        for i in range(n_blocks):
+            for j in range(i, n_blocks):
+                pid = i * n_blocks + j
+                side_when = (
+                    F.when(b == i, F.lit("L")).otherwise(F.lit("R"))
+                    if i != j else F.lit("B")
+                )
+                cond = (b == i) | (b == j)
+                entries.append(
+                    F.when(cond, F.struct(F.lit(pid).alias("pid"),
+                                          side_when.alias("side")))
+                )
+        return F.filter(F.array(*entries), lambda x: x.isNotNull())
+
+    tagged = blk.select(
+        "_id", "_q", "_norm",
+        F.explode(pairs_for(F.col("_blk"))).alias("_p"),
+    ).select("_id", "_q", "_norm",
+             F.col("_p.pid").alias("_pid"), F.col("_p.side").alias("_side"))
+
+    out_schema = StructType([
+        StructField("id_a", df.schema[id_col].dataType, True),
+        StructField("id_b", df.schema[id_col].dataType, True),
+        StructField("cosine", DoubleType(), True),
+    ])
+    thr = float(threshold)
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        def mats(sub):
+            ids = sub["_id"].to_numpy()
+            X = np.array(sub["_q"].tolist(), dtype=np.int64)
+            nrm = np.sqrt(sub["_norm"].to_numpy(dtype=np.float64))
+            return ids, X, nrm
+
+        both = pdf[pdf["_side"] == "B"]
+        rows_a, rows_b = [], []
+        if len(both):  # diagonal block: upper triangle of one matmul
+            ids, X, nrm = mats(both)
+            dots = X @ X.T
+            cos = dots / (nrm[:, None] * nrm[None, :])
+            ia, ib = np.where(cos >= thr)
+            keep = ids[ia] < ids[ib]
+            return pd.DataFrame({
+                "id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                "cosine": cos[ia, ib][keep],
+            })
+        left = pdf[pdf["_side"] == "L"]
+        right = pdf[pdf["_side"] == "R"]
+        if not len(left) or not len(right):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids_l, X_l, n_l = mats(left)
+        ids_r, X_r, n_r = mats(right)
+        cos = (X_l @ X_r.T) / (n_l[:, None] * n_r[None, :])
+        ia, ib = np.where(cos >= thr)
+        a_ids, b_ids = ids_l[ia], ids_r[ib]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[ia, ib]})
+
+    return tagged.groupBy("_pid").applyInPandas(score, schema=out_schema)
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) bucketed search — the SPANN shape
 # ---------------------------------------------------------------------------

@@ -1,0 +1,40 @@
+"""Blocked all-pairs near-dup: bit-identity with the expression path
+(reference Check()-style self-consistency) across block counts."""
+
+from __future__ import annotations
+
+import pytest
+
+from sptag_spark.operators.knn import (
+    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_blocked,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.mark.parametrize("n_blocks", [1, 3, 8])
+def test_blocked_equals_expression_path(emb, n_blocks):
+    want = {(r["id_a"], r["id_b"], r["cosine"])
+            for r in cosine_near_dup_pairs(emb, threshold=0.3).collect()}
+    got = {(r["id_a"], r["id_b"], r["cosine"])
+           for r in cosine_near_dup_pairs_blocked(
+               emb, threshold=0.3, n_blocks=n_blocks).collect()}
+    assert got == want  # bit-identical cosines, exact same pair set
+    assert len(got) > 0  # threshold chosen to be non-trivial
+
+
+def test_no_self_or_reversed_pairs(emb):
+    rows = cosine_near_dup_pairs_blocked(emb, threshold=0.3,
+                                         n_blocks=4).collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    # no duplicates across block pairs
+    keys = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(keys) == len(set(keys))
