@@ -559,6 +559,58 @@ def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_centroids=32, nprobe=4)
 
 
+def _q_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (reference T1/T6): latest event per
+    (user_id, event_type), driven through upsert_latest with the even
+    event_ids as the base table and the odd ones as the update stream."""
+    from sptag_spark.operators.upsert import upsert_latest
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    base = ev.filter("event_id % 2 = 0")
+    updates = ev.filter("event_id % 2 = 1")
+    return upsert_latest(base, updates, ["user_id", "event_type"], "ts",
+                         tiebreak=["event_id"])
+
+
+_CURRENT_STATE_ORACLE = """
+SELECT event_id, user_id, event_type, ts, value FROM (
+  SELECT event_id, user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
+
+def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT corpus: drop every doc that loses a
+    near-dup pairing (appears as id_b, keep-first policy) — anti-join
+    (reference U2 exceptIDS, VectorIndex.cpp:1169-1172)."""
+    from sptag_spark.operators.dedup import jaccard_pairs
+    from sptag_spark.operators.upsert import apply_deletes
+
+    docs = _documents(spark, sf_dir)
+    losers = jaccard_pairs(docs, threshold=0.5) \
+        .select(F.col("id_b").alias("doc_id"))
+    return apply_deletes(docs.select("doc_id", "lang", "source"),
+                         losers, ["doc_id"])
+
+
+_DEDUP_APPLY_ORACLE = _SHINGLES_CTE + """,
+e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sh1 FROM s),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+losers AS (SELECT DISTINCT id_b FROM p
+           WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
+"""
+
+
 def _q_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.operators.knn import multi_index_topk
 
@@ -642,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_topk": _q_knn_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "ivf_knn_topk": _q_ivf_knn,  # approximate: rows-only check (no oracle)
+        "current_state_upsert": _q_current_state,
+        "dedup_apply_anti": _q_dedup_apply,
         "rank_join_multi_index": _q_rank_join,
         "corpus_stats_rollup": _q_corpus_rollup,
     }
@@ -670,6 +724,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(32, 3),
         "knn_cosine_topk": _KNN_ORACLE,
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
+        "current_state_upsert": _CURRENT_STATE_ORACLE,
+        "dedup_apply_anti": _DEDUP_APPLY_ORACLE,
         "rank_join_multi_index": _RANK_JOIN_ORACLE,
         "corpus_stats_rollup": _CORPUS_ROLLUP_ORACLE,
     }
