@@ -116,6 +116,59 @@ def stream_sliding_counts(
     )
 
 
+def stream_stateful_counts(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-key
+    running (count, sum-of-epoch-seconds-as-proxy) accumulator that
+    persists across micro-batches — the reference's in-memory per-key
+    update state (SPFresh append counters, IExtraSearcher.h:83-158) with
+    Spark's state store replacing the hand-rolled map."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField(key, LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_batches", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("b", LongType()),
+    ])
+
+    def update(key_tuple, pdfs, state: GroupState):
+        n_new = 0
+        for pdf in pdfs:
+            n_new += len(pdf)
+        if state.exists:
+            n, b = state.get
+        else:
+            n, b = 0, 0
+        state.update((n + n_new, b + 1))
+        yield pd.DataFrame({
+            key: [key_tuple[0]],
+            "n_events": [n + n_new],
+            "n_batches": [b + 1],
+        })
+
+    ev = events.withColumn(ts, F.col(ts).cast("timestamp")) \
+        .withWatermark(ts, watermark)
+    return ev.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def incremental_append(
     stream: DataFrame,
     out_path: str,

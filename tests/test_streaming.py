@@ -98,6 +98,37 @@ def test_stream_sliding_counts_matches_batch(spark, events_dir, events_schema):
     assert g == w
 
 
+def test_stateful_counts_accumulate_across_microbatches(
+        spark, events_dir, events_schema):
+    from sptag_spark.streaming.jobs import stream_stateful_counts
+
+    stream = read_events_stream(spark, events_dir, events_schema,
+                                max_files_per_trigger=1)  # >1 micro-batch
+    out = stream_stateful_counts(stream, key="user_id")
+    q = (
+        out.writeStream.format("memory").queryName("state_stream")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # in update mode the sink holds one row per (key, batch) emission;
+    # the LAST emission per key is the final accumulated state
+    import pyspark.sql.functions as F
+    final = (
+        spark.table("state_stream")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"),
+             F.max("n_batches").alias("n_batches"))
+    )
+    got = {r["user_id"]: (r["n_events"], r["n_batches"])
+           for r in final.collect()}
+    want = {r["user_id"]: r["n"]
+            for r in spark.read.parquet(events_dir).groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    # state genuinely persisted across micro-batches for some key
+    assert any(v[1] > 1 for v in got.values())
+
+
 def test_incremental_append_exactly_once(spark, events_dir, events_schema,
                                          tmp_path):
     out = str(tmp_path / "sink")
