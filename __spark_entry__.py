@@ -643,6 +643,33 @@ ORDER BY score DESC, c.vec_id LIMIT 10
 """
 
 
+def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload parse (reference F9 string query parse,
+    Server/QueryParser.h:37-59): extract props.k JVM-side and aggregate —
+    no Python, schema-on-read stays in the scan."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_EXTRACT_ORACLE = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(props::JSON ->> 'k' AS BIGINT)) AS min_k,
+       max(CAST(props::JSON ->> 'k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return (
@@ -697,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "current_state_upsert": _q_current_state,
         "dedup_apply_anti": _q_dedup_apply,
         "rank_join_multi_index": _q_rank_join,
+        "json_extract_agg": _q_json_extract,
         "corpus_stats_rollup": _q_corpus_rollup,
     }
 
@@ -727,5 +755,6 @@ def oracle_sql() -> dict[str, str]:
         "current_state_upsert": _CURRENT_STATE_ORACLE,
         "dedup_apply_anti": _DEDUP_APPLY_ORACLE,
         "rank_join_multi_index": _RANK_JOIN_ORACLE,
+        "json_extract_agg": _JSON_EXTRACT_ORACLE,
         "corpus_stats_rollup": _CORPUS_ROLLUP_ORACLE,
     }
