@@ -89,6 +89,34 @@ ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 
+def _q_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """strict=True: a probe must NOT see a data row at its own timestamp
+    (reference P3 version predicate excludes the in-flight version)."""
+    from sptag_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    probe = ev.filter("event_type='purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter("event_type='click'").select(
+        "user_id", "ts",
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    return asof_join(probe, clicks, on="user_id", probe_ts="ts",
+                     data_ts="ts", strict=True)
+
+
+_ASOF_STRICT_ORACLE = """
+SELECT p.event_id, p.user_id, p.ts, c.ts AS matched_ts,
+       c.value AS click_value, c.event_id AS click_event_id
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type='click') c
+ON p.user_id = c.user_id AND p.ts > c.ts
+"""
+
+
 def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.operators.windows import with_lag_lead
 
@@ -702,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_union": _q_asof("union"),
         "asof_join_broadcast": _q_asof("broadcast"),
         "asof_join_merge": _q_asof("merge"),
+        "asof_join_strict": _q_asof_strict,
         "lag_lead": _q_lag_lead,
         "rolling_rows": _q_rolling_rows,
         "rolling_range_1h": _q_rolling_range,
@@ -734,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_union": _ASOF_ORACLE,
         "asof_join_broadcast": _ASOF_ORACLE,
         "asof_join_merge": _ASOF_ORACLE,
+        "asof_join_strict": _ASOF_STRICT_ORACLE,
         "lag_lead": _LAG_LEAD_ORACLE,
         "rolling_rows": _ROLLING_ROWS_ORACLE,
         "rolling_range_1h": _ROLLING_RANGE_ORACLE,

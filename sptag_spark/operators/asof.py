@@ -200,11 +200,15 @@ def _asof_merge(
     payload: list[str],
     strict: bool,
     tolerance_seconds: float | None,
+    n_buckets: int = 64,
 ) -> DataFrame:
-    """Cogrouped Arrow sort-merge: pandas.merge_asof per key bucket.
+    """Cogrouped Arrow sort-merge: pandas.merge_asof per HASH BUCKET of
+    keys (not per key — thousands of tiny cogroups would pay per-group
+    Arrow overhead; merge_asof's `by=` handles the per-key discipline
+    inside one vectorized call per bucket).
 
-    Both sides shuffle once on the keys; within each cogroup the merge is
-    numpy searchsorted (vectorized, no per-row Python).
+    Both sides shuffle once on the bucket; within each cogroup the merge
+    is numpy searchsorted (no per-row Python).
     """
     import pandas as pd
 
@@ -216,6 +220,13 @@ def _asof_merge(
     probe_cols = list(probe.columns)
     allow_exact = not strict
     tol = pd.Timedelta(seconds=tolerance_seconds) if tolerance_seconds else None
+    bcol = "__asof_bucket"
+    p_b = probe.withColumn(
+        bcol, F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    )
+    d_b = data.withColumn(
+        bcol, F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    )
 
     def merge(pk: "pd.DataFrame", dk: "pd.DataFrame") -> "pd.DataFrame":
         if pk.empty:
@@ -227,20 +238,23 @@ def _asof_merge(
             for c in payload:
                 out[c] = None
             return out[probe_cols + ["matched_ts"] + payload]
-        right = dk[[data_ts] + payload].rename(columns={data_ts: "matched_ts"})
+        right = dk[keys + [data_ts] + payload].rename(
+            columns={data_ts: "matched_ts"}
+        )
         right = right.sort_values("matched_ts", kind="mergesort")
         merged = pd.merge_asof(
             left,
             right,
             left_on=probe_ts,
             right_on="matched_ts",
+            by=keys,
             allow_exact_matches=allow_exact,
             tolerance=tol,
         )
         return merged[probe_cols + ["matched_ts"] + payload]
 
     return (
-        probe.groupBy(*keys)
-        .cogroup(data.groupBy(*keys))
+        p_b.groupBy(bcol)
+        .cogroup(d_b.groupBy(bcol))
         .applyInPandas(merge, schema=out_schema)
     )
