@@ -1,0 +1,73 @@
+"""Snapshot table tests: append-only versioning, time travel, incremental
+reads, and snapshot-resume of a processing job."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sptag_spark.sources.snapshots import SnapshotTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(str(tmp_path / "tbl"))
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_append_and_time_travel(spark, table):
+    table.append(_batch(spark, 0, 10))
+    table.append(_batch(spark, 10, 30))
+    table.append(_batch(spark, 30, 35))
+    assert table.current_version() == 3
+    assert table.read(spark).count() == 35
+    assert table.read(spark, version=1).count() == 10
+    assert table.read(spark, version=2).count() == 30
+    # time travel is bit-stable: same version, same digest
+    from sptag_spark.sources.manifest import digest_frame
+    d1 = digest_frame(table.read(spark, version=2))
+    d2 = digest_frame(table.read(spark, version=2))
+    assert d1["digest"] == d2["digest"]
+
+
+def test_incremental_read(spark, table):
+    table.append(_batch(spark, 0, 10))
+    table.append(_batch(spark, 10, 30))
+    inc = table.read_changes(spark, after_version=1)
+    assert inc.count() == 20
+    assert inc.agg(F.min("id")).first()[0] == 10
+
+
+def test_snapshot_resume_processing(spark, table, tmp_path):
+    """A consumer records the last snapshot it processed; restart
+    processes only newer snapshots (reference T7 checkpoint/recovery)."""
+    out = []
+
+    def process_new(last_done: int) -> int:
+        cur = table.current_version()
+        if cur > last_done:
+            rows = table.read_changes(spark, after_version=last_done,
+                                      to_version=cur).count()
+            out.append(rows)
+            return cur
+        return last_done
+
+    table.append(_batch(spark, 0, 100))
+    done = process_new(0)
+    table.append(_batch(spark, 100, 150))
+    table.append(_batch(spark, 150, 160))
+    done = process_new(done)
+    assert out == [100, 60]  # second pass saw ONLY the two new snapshots
+    assert done == 3
+    # idempotent when nothing new
+    assert process_new(done) == 3 and len(out) == 2
+
+
+def test_read_before_first_version_raises(spark, table):
+    with pytest.raises(ValueError):
+        table.read(spark, version=0)
