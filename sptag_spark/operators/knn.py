@@ -386,6 +386,62 @@ def multi_index_topk(
     )
 
 
+def paged_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    page_size: int = 10,
+    max_pages: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Iterative top-k cursor (reference Q4 VBASE GetIterator /
+    SearchIndexIterativeNext, ResultIterator.cpp:28-57): yield pages of
+    ascending-distance results. Spark restatement = keyset pagination —
+    each page re-queries with `cosine < last_seen` (strictly colder than
+    everything already returned) instead of OFFSET, so page N+1 is one
+    pruned scan, not a rescan of N pages. Tie-safety comes from the
+    (cosine, id) composite keyset."""
+    q = [int(round(float(x) * 1000)) for x in query_vec]
+    qlit = F.array(*[F.lit(v).cast("long") for v in q])
+    qnorm = sum(v * v for v in q)
+    c = _with_quantized(corpus, id_col, vec_col).withColumn(
+        "cosine",
+        cosine_from_quantized(
+            idot(F.col("_q"), qlit), F.col("_norm"),
+            F.lit(qnorm).cast("long"),
+        ),
+    ).select(F.col("_id").alias(id_col), "cosine")
+    last = None  # (cosine, id) keyset
+    for _ in range(max_pages):
+        page_df = c
+        if last is not None:
+            page_df = c.filter(
+                (F.col("cosine") < F.lit(last[0]))
+                | ((F.col("cosine") == F.lit(last[0]))
+                   & (F.col(id_col) > F.lit(last[1])))
+            )
+        rows = page_df.orderBy(F.col("cosine").desc(),
+                               F.col(id_col).asc()).limit(page_size).collect()
+        if not rows:
+            return
+        yield rows
+        last = (rows[-1]["cosine"], rows[-1][id_col])
+
+
+def mrr_at_k(approx: DataFrame, truth: DataFrame) -> float:
+    """Mean reciprocal rank of the first true neighbor found (reference
+    TruthSet MRR, TruthSet.h:166-240). `truth` rows mark relevant
+    (query_id, vec_id); `approx` carries rank."""
+    hits = approx.join(truth.select("query_id", "vec_id"),
+                       ["query_id", "vec_id"], "left_semi")
+    first_hit = hits.groupBy("query_id").agg(F.min("rank").alias("r"))
+    all_q = truth.select("query_id").distinct()
+    per_q = all_q.join(first_hit, "query_id", "left").select(
+        F.coalesce(1.0 / F.col("r"), F.lit(0.0)).alias("rr")
+    )
+    return per_q.agg(F.avg("rr")).collect()[0][0]
+
+
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> float:
     """Mean per-query recall of `approx` vs `exact` (both from *_topk).
     The reference's CalculateRecall (TruthSet.h:242-285) as one join."""

@@ -85,3 +85,37 @@ def test_ivf_recall_gate(emb):
 def test_recall_of_exact_vs_itself_is_one(emb):
     exact = brute_force_topk(emb, emb.filter("vec_id < 5"), k=10)
     assert recall_at_k(exact, exact) == 1.0
+
+
+def test_paged_topk_equals_batch(emb):
+    """Iterative cursor == one-shot batch ranking (reference
+    IterativeScanTest.cpp:227-237: iterative results equal batch)."""
+    from sptag_spark.operators.knn import brute_force_topk, paged_topk
+
+    qrow = emb.filter("vec_id = 0").first()
+    qvec = [float(x) for x in qrow["embedding"]]
+    pages = []
+    for page in paged_topk(emb.filter("vec_id != 0"), qvec, page_size=7):
+        pages.append([(r["vec_id"], r["cosine"]) for r in page])
+        if sum(len(p) for p in pages) >= 21:
+            break
+    streamed = [v for p in pages for v in p]
+    batch = brute_force_topk(emb, emb.filter("vec_id = 0"), k=21).collect()
+    assert streamed == [(r["vec_id"], r["cosine"]) for r in sorted(
+        batch, key=lambda r: r["rank"])]
+    # pages are non-overlapping and monotonically colder
+    cosines = [c for _, c in streamed]
+    assert cosines == sorted(cosines, reverse=True)
+    ids = [i for i, _ in streamed]
+    assert len(ids) == len(set(ids))
+
+
+def test_mrr(emb, spark):
+    from sptag_spark.operators.knn import brute_force_topk, mrr_at_k
+
+    exact = brute_force_topk(emb, emb.filter("vec_id < 5"), k=10)
+    assert mrr_at_k(exact, exact) == 1.0  # rank-1 hit for every query
+    # truth nobody retrieves -> MRR 0
+    fake_truth = spark.createDataFrame(
+        [(q, 10**9) for q in range(5)], ["query_id", "vec_id"])
+    assert mrr_at_k(exact, fake_truth) == 0.0
