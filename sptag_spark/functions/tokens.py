@@ -149,20 +149,31 @@ def _batch_features(tokens_arr: pa.Array, small_threshold: int = 1000) -> dict:
             "tok_frac_small": z,
             "tok_fingerprint": z.astype(np.int64),
         }
-    sums = np.add.reduceat(flat32, safe_starts).astype(np.int64)
+    vmax = int(flat32.max(initial=0))
+    narrow = n <= (1 << 16) and vmax < (1 << 16)
+    # int32 accumulation is safe only when vocab*maxlen < 2^31 — guaranteed
+    # on the narrow path (2^16 * 4096 = 2^28); wide vocabs accumulate int64
+    sums = np.add.reduceat(
+        flat32 if narrow else flat32.astype(np.int64), safe_starts
+    ).astype(np.int64)
     sums[lens == 0] = 0
     means = np.divide(sums, lens, out=np.zeros(n), where=lens > 0)
     small = np.add.reduceat((flat32 < small_threshold).astype(np.int32),
                             safe_starts).astype(np.int64)
     small[lens == 0] = 0
     frac_small = np.divide(small, lens, out=np.zeros(n), where=lens > 0)
-    # distinct per row: unstable sort of packed (row_id << 16 | token)
-    # uint32 keys, then count segment-local value changes.
-    assert (n <= (1 << 16) and flat32.max(initial=0) < (1 << 16)
-            and lens.max(initial=0) <= _MAX_LEN), \
-        "uint32 key packing needs rows<=2^16, vocab<2^16, len<=4096"
-    row_id = np.repeat(np.arange(n, dtype=np.uint32), lens)
-    keyed = (row_id << np.uint32(16)) | flat32.astype(np.uint32)
+    assert lens.max(initial=0) <= _MAX_LEN, "row longer than fingerprint table"
+    # distinct per row: unstable sort of packed (row_id, token) keys, then
+    # count segment-local value changes. Fast path packs into uint32 (half
+    # the sort bandwidth) when vocab < 2^16 and batch rows <= 2^16 (the
+    # session's maxRecordsPerBatch guarantees the latter); wide-vocab
+    # tokenizers (e.g. 100k BPE) take the int64 path automatically.
+    if narrow:
+        row_id = np.repeat(np.arange(n, dtype=np.uint32), lens)
+        keyed = (row_id << np.uint32(16)) | flat32.astype(np.uint32)
+    else:
+        row_id64 = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keyed = (row_id64 << np.int64(32)) | flat32.astype(np.int64)
     keyed.sort()
     new_val = np.empty(len(keyed), dtype=bool)
     new_val[0] = True

@@ -69,7 +69,14 @@ def salted_agg(
 ) -> DataFrame:
     """groupBy(key).agg(sum, count, min, max, avg) in two phases so no
     single reducer owns a hot key. Result is identical to the direct
-    aggregation (tested + oracle-checked)."""
+    aggregation (tested + oracle-checked).
+
+    NOTE on floats: two-phase summation changes addition order, so on
+    float columns the result is the usual non-associative-FP answer, not
+    bit-identical to a single-phase plan (Spark's own partial aggregation
+    has the same property). Use integral/decimal values where bit-exact
+    reproducibility is required — every oracle-checked sum in this repo
+    does (see __spark_entry__ docstring)."""
     if salt_map is None:
         salt_map = plan_salts(df, key, target_rows_per_task)
     salted = df.withColumn(

@@ -192,3 +192,23 @@ def test_run_pipeline_metrics(spark, corpus, tmp_path):
     assert m["rows_out"] == 200
     assert m["sequences"] > 0 and m["tokens"] > 0
     assert m["sequences_per_sec"] > 0
+
+
+def test_kernel_wide_vocab_path():
+    """Tokenizers with vocab >= 2^16 (e.g. 100k BPE) take the int64
+    distinct/sum path; values must stay exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sptag_spark.functions.tokens import _batch_features
+
+    rng = np.random.default_rng(1)
+    lens = rng.integers(1, 50, 300)
+    flat = rng.integers(0, 200_000, lens.sum()).astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    la = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat))
+    f = _batch_features(la)
+    for r in range(len(lens)):
+        seg = flat[offs[r]:offs[r + 1]]
+        assert f["tok_sum"][r] == seg.astype(np.int64).sum()
+        assert f["tok_distinct"][r] == len(np.unique(seg))
