@@ -78,6 +78,23 @@ def asof_join(
                 f"payload column {c!r} collides with a probe column; alias it first"
             )
 
+    if strategy == "auto":
+        # Mirror the reference's routing check (AggregatorService.cpp:175:
+        # route to top-K servers only when centers are loaded): broadcast
+        # when the probe side is provably small, else the one-shuffle
+        # union plan. Plan-statistics based — no extra job.
+        probe_bytes = probe._jdf.queryExecution().optimizedPlan() \
+            .stats().sizeInBytes()
+        threshold = int(
+            probe.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            ).rstrip("b")
+        )
+        strategy = "broadcast" if (
+            0 <= probe_bytes <= max(threshold, 0)
+        ) else "union"
+        if tolerance_seconds is not None:
+            strategy = "broadcast" if strategy == "broadcast" else "merge"
     if strategy == "union":
         if tolerance_seconds is not None:
             raise ValueError("tolerance requires strategy='broadcast' or 'merge'")

@@ -191,6 +191,39 @@ def incremental_append(
     return writer.start()
 
 
+def stream_asof_enrich(
+    probe_stream: DataFrame,
+    features: DataFrame,
+    on: str,
+    probe_ts: str,
+    data_ts: str,
+    out_path: str,
+    checkpoint_path: str,
+):
+    """Streaming point-in-time enrichment: each micro-batch of probes is
+    as-of joined against the (static) feature table and appended — the
+    serving loop of the reference's SearchIndex under continuous query
+    load (SPANNIndex.cpp:293-395), with exactly-once sink semantics from
+    the streaming checkpoint. Micro-batches are small by construction, so
+    the join auto-routes to the broadcast strategy (features never
+    shuffle)."""
+    from sptag_spark.operators.asof import asof_join
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        enriched = asof_join(batch, features, on=on, probe_ts=probe_ts,
+                             data_ts=data_ts, strategy="broadcast")
+        enriched.write.mode("append").parquet(out_path)
+
+    return (
+        probe_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, sink_table: str, output_mode: str = "complete"
 ) -> None:

@@ -153,3 +153,36 @@ def test_incremental_append_exactly_once(spark, events_dir, events_schema,
     one = spark.read.parquet(out).filter("event_type = 'purchase'")
     assert one.count() == spark.read.parquet(events_dir) \
         .filter("event_type = 'purchase'").count()
+
+
+def test_stream_asof_enrich_matches_batch(spark, events_dir, events_schema,
+                                          tmp_path):
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.asof import asof_join
+    from sptag_spark.streaming.jobs import stream_asof_enrich
+
+    ev = spark.read.parquet(events_dir)
+    features = ev.filter("event_type='click'").select(
+        "user_id", "ts", F.col("value").alias("click_value"))
+    probes_dir = str(tmp_path / "probes")
+    ev.filter("event_type='purchase'").select("event_id", "user_id", "ts") \
+        .repartition(3).write.parquet(probes_dir)
+
+    out = str(tmp_path / "enriched")
+    q = stream_asof_enrich(
+        spark.readStream.schema(
+            spark.read.parquet(probes_dir).schema
+        ).option("maxFilesPerTrigger", 1).parquet(probes_dir),
+        features, on="user_id", probe_ts="ts", data_ts="ts",
+        out_path=out, checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    want = asof_join(
+        spark.read.parquet(probes_dir), features,
+        on="user_id", probe_ts="ts", data_ts="ts",
+    )
+    key = lambda r: (r["event_id"], r["matched_ts"], r["click_value"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
