@@ -47,6 +47,14 @@ def main() -> int:
                       shuffle_partitions=2 * int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the JVM (codegen, shuffle, window, Python worker pool) with a
+    # throwaway query so the first timed query doesn't absorb JIT costs.
+    from pyspark.sql import Window, functions as F
+    warm = spark.range(100_000).withColumn(
+        "r", F.row_number().over(Window.partitionBy(F.col("id") % 8)
+                                 .orderBy("id")))
+    materialize(warm)
+
     timings: dict[str, float] = {}
     for name, fn in ent.queries().items():
         t0 = time.time()
