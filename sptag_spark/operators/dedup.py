@@ -18,9 +18,9 @@ Scale notes (100 TB):
   balanced-partition λ penalty, BKTree.h:250-251);
 - MinHash/LSH replaces the quadratic join with B band-bucket joins —
   candidate pairs only, verified by exact Jaccard afterwards if needed;
-- SimHash blocks on 4-bit nibbles; for hamming radius <=3 over 16 bits
-  the 4-block pigeonhole makes the blocked join *lossless* vs brute force
-  (the oracle IS the brute-force cross join).
+- SimHash blocks on the four 8-bit bytes of a 32-bit sketch; for hamming
+  radius <=3 the 4-block pigeonhole makes the blocked join *lossless* vs
+  brute force (the oracle IS the brute-force cross join).
 """
 
 from __future__ import annotations
@@ -33,6 +33,18 @@ from sptag_spark.functions.text import (
     normalize_text,
     word_shingles,
 )
+
+def _ensure_parallel(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """CPU-dense per-row expressions (thousands of md5 calls per row) die
+    on parallelism, not data volume: a small parquet file arrives as ONE
+    input split and pins a single core. Repartition only when the scan is
+    narrower than the cluster — at real scale input splits >> cores and
+    this is a no-op (no shuffle added)."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -76,7 +88,7 @@ def exact_dedup(
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
 ) -> DataFrame:
-    sh = df.select(
+    sh = _ensure_parallel(df).select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_shingles"),
     ).select(
@@ -152,7 +164,7 @@ def minhash_signature(
     # Materialize the shingle array in its own projection so codegen
     # computes it once per row; inlining it would re-derive (normalize +
     # split + n-gram) num_hashes times.
-    shingled = df.select(
+    shingled = _ensure_parallel(df).select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_shingles"),
     )
@@ -277,7 +289,7 @@ def simhash_pairs(
         "4-block pigeonhole only covers radius blocks-1"
     bits_per_block = SIMHASH_BITS // SIMHASH_BLOCKS
     block_mask = (1 << bits_per_block) - 1
-    sh = df.select(
+    sh = _ensure_parallel(df).select(
         F.col(id_col).alias("_id"),
         F.transform(
             word_shingles(F.col(text_col), 3),
