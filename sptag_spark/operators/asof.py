@@ -85,11 +85,13 @@ def asof_join(
         # union plan. Plan-statistics based — no extra job.
         probe_bytes = probe._jdf.queryExecution().optimizedPlan() \
             .stats().sizeInBytes()
-        threshold = int(
-            probe.sparkSession.conf.get(
-                "spark.sql.autoBroadcastJoinThreshold", "10485760"
-            ).rstrip("b")
+        raw = probe.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
         )
+        try:
+            threshold = int(str(raw).lower().rstrip("b"))
+        except ValueError:  # unit-suffixed form like "10m" — stay safe
+            threshold = 10 * 1024 * 1024
         strategy = "broadcast" if (
             0 <= probe_bytes <= max(threshold, 0)
         ) else "union"
@@ -186,7 +188,11 @@ def _asof_broadcast(
     (VectorIndex.cpp:1144-1254): small side replicated to every task, big
     side streamed once.
     """
-    p = probe.alias("p")
+    # Unique per-row id BEFORE the join: the top-1 window partitions on it,
+    # so duplicate probe rows each keep their own match (partitioning on
+    # the probe's columns would silently collapse duplicates).
+    uid = "__asof_probe_uid"
+    p = probe.withColumn(uid, F.monotonically_increasing_id()).alias("p")
     d = data.alias("d")
     cond = _ts_cond(F.col(f"p.{probe_ts}"), F.col(f"d.{data_ts}"), strict)
     for k in keys:
@@ -197,7 +203,7 @@ def _asof_broadcast(
             >= F.col(f"p.{probe_ts}").cast("double") - float(tolerance_seconds)
         )
     joined = F.broadcast(p).join(d, cond, "left")
-    w = Window.partitionBy(*[F.col(f"p.{c}") for c in probe.columns]).orderBy(
+    w = Window.partitionBy(F.col(f"p.{uid}")).orderBy(
         F.col(f"d.{data_ts}").desc_nulls_last()
     )
     ranked = joined.withColumn("__rn", F.row_number().over(w))

@@ -26,7 +26,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def _sq_dist(vec: Column, centroid: list[float]) -> Column:
@@ -66,13 +65,12 @@ def init_centroids(
     df: DataFrame, k: int, id_col: str, vec_col: str = "embedding"
 ) -> np.ndarray:
     """Deterministic seeding: the k rows with smallest xxhash64(id) — the
-    reference's sampled head selection (SPANNIndex.cpp:901-938)."""
-    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+    reference's sampled head selection (SPANNIndex.cpp:901-938).
+    TakeOrdered (orderBy+limit), not a global window: distributed."""
     rows = (
         df.select(id_col, vec_col)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= k)
-        .orderBy("_r")
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(k)
         .collect()
     )
     return np.array([[float(x) for x in r[vec_col]] for r in rows])

@@ -251,12 +251,15 @@ def select_centroids(
     """Deterministic head selection: the n_centroids rows with the
     smallest xxhash64(id) — a seeded uniform sample, the moral equivalent
     of the reference's SelectHead ratio sampling (SPANNIndex.cpp:901-938).
+
+    orderBy().limit() compiles to TakeOrdered (distributed per-partition
+    top-k + small merge) — NOT a global row_number window, which would
+    funnel the whole corpus through one partition at scale.
     """
-    w = Window.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
     return (
         corpus.select(id_col, vec_col)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_centroids)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),
             F.col(vec_col).alias("centroid_vec"),

@@ -103,3 +103,23 @@ def test_asof_union_plan_has_single_shuffle(spark):
     from tests.util import count_exchanges
 
     assert count_exchanges(got) <= 1
+
+
+def test_broadcast_keeps_duplicate_probe_rows(spark):
+    """Two identical probe rows must each produce an output row (the
+    broadcast top-1 window partitions on a per-row uid, not the probe's
+    columns)."""
+    import datetime as dt
+
+    from sptag_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2025, 1, 1)
+    probe = spark.createDataFrame(
+        [(1, t0), (1, t0)], ["k", "ts"])  # exact duplicates
+    data = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(seconds=5), 42.0)], ["k", "ts", "v"])
+    for strat in ("union", "broadcast", "merge"):
+        out = asof_join(probe, data, on="k", probe_ts="ts", data_ts="ts",
+                        payload=["v"], strategy=strat).collect()
+        assert len(out) == 2, strat
+        assert all(r["v"] == 42.0 for r in out), strat
