@@ -1,0 +1,90 @@
+"""k-NN graph tests: exactness vs a numpy oracle, block-count invariance,
+and the RNG pruning rule's reference semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sptag_spark.operators.graph import build_knn_graph, rng_prune
+
+SF = "/root/testdata/sf0.001"
+K = 6
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def oracle(emb):
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    Q = np.array([np.round(np.asarray(v, np.float64) * 1000)
+                  for v in pdf["embedding"]])
+    nrm = np.sqrt((Q * Q).sum(1))
+    cos = (Q @ Q.T) / (nrm[:, None] * nrm[None, :])
+    np.fill_diagonal(cos, -np.inf)
+    out = {}
+    for i, vid in enumerate(ids):
+        order = sorted(range(len(ids)), key=lambda j: (-cos[i, j], ids[j]))
+        out[vid] = [(ids[j], cos[i, j]) for j in order[:K]]
+    return out
+
+
+def test_knn_graph_exact(emb, oracle):
+    got = {}
+    for r in build_knn_graph(emb, k=K, n_blocks=8).collect():
+        got.setdefault(r["src"], []).append((r["rank"], r["dst"], r["cosine"]))
+    assert set(got) == set(oracle)
+    for src, lst in got.items():
+        lst = [(d, c) for _, d, c in sorted(lst)]
+        assert lst == oracle[src], f"src {src}"
+
+
+def test_block_count_invariance(emb):
+    a = {(r["src"], r["dst"]) for r in build_knn_graph(emb, k=4, n_blocks=2).collect()}
+    b = {(r["src"], r["dst"]) for r in build_knn_graph(emb, k=4, n_blocks=16).collect()}
+    assert a == b
+
+
+def test_rng_prune_semantics(emb):
+    graph = build_knn_graph(emb, k=K, n_blocks=8).cache()
+    pruned = rng_prune(graph, emb, max_degree=3)
+    rows = pruned.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    kept_edges = {(r["src"], r["dst"]) for r in rows}
+    graph_edges = {(r["src"], r["dst"]) for r in graph.collect()}
+    assert kept_edges <= graph_edges          # prune only removes
+    for src, lst in by_src.items():
+        assert 1 <= len(lst) <= 3
+        ranks = sorted(r["rng_rank"] for r in lst)
+        assert ranks == list(range(1, len(lst) + 1))
+    # nearest neighbor is never pruned (it is accepted first)
+    top1 = {r["src"]: r["dst"] for r in graph.filter("rank = 1").collect()}
+    for src, lst in by_src.items():
+        best = max(lst, key=lambda r: (r["cosine"], -r["dst"]))
+        assert best["dst"] == top1[src]
+    graph.unpersist()
+
+
+def test_rng_prunes_occluded_neighbor(spark):
+    """Hand-built geometry: two candidates nearly identical to each other
+    -> the second is occluded (reference RNG rule); a diverse third
+    direction survives."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),    # query
+        (1, [0.9, 0.1, 0.0]),    # nearest
+        (2, [0.89, 0.11, 0.0]),  # clone of 1 -> occluded by 1
+        (3, [0.5, -0.8, 0.0]),   # different direction -> kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    graph = build_knn_graph(df, k=3, n_blocks=1)
+    pruned = rng_prune(graph, df, max_degree=3)
+    kept = {r["dst"] for r in pruned.filter("src = 0").collect()}
+    assert 1 in kept and 2 not in kept and 3 in kept
