@@ -698,6 +698,35 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-NN graph (reference NeighborhoodGraph build, J8/W2): top-6
+    neighbors for EVERY row via blocked local-top-k matmuls."""
+    from sptag_spark.operators.graph import build_knn_graph
+
+    return build_knn_graph(_embeddings(spark, sf_dir), k=6, n_blocks=8)
+
+
+_KNN_GRAPH_ORACLE = """
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]))
+      AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+      AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id)
+SELECT * FROM (
+  SELECT src, dst, cosine,
+         CAST(row_number() OVER (PARTITION BY src
+              ORDER BY cosine DESC, dst) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 6
+"""
+
+
 def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return (
@@ -753,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "current_state_upsert": _q_current_state,
         "dedup_apply_anti": _q_dedup_apply,
         "rank_join_multi_index": _q_rank_join,
+        "knn_graph": _q_knn_graph,
         "json_extract_agg": _q_json_extract,
         "corpus_stats_rollup": _q_corpus_rollup,
     }
@@ -785,6 +815,7 @@ def oracle_sql() -> dict[str, str]:
         "current_state_upsert": _CURRENT_STATE_ORACLE,
         "dedup_apply_anti": _DEDUP_APPLY_ORACLE,
         "rank_join_multi_index": _RANK_JOIN_ORACLE,
+        "knn_graph": _KNN_GRAPH_ORACLE,
         "json_extract_agg": _JSON_EXTRACT_ORACLE,
         "corpus_stats_rollup": _CORPUS_ROLLUP_ORACLE,
     }

@@ -90,12 +90,13 @@ def build_knn_graph(
             return ids, X, nrm
 
         def emit(ids_a, cos, ids_b):
-            """per row of `ids_a`, local top-k of `cos` (a x b)."""
+            """per row of `ids_a`, all entries >= the row's k-th cosine —
+            ties at the boundary are INCLUDED (argpartition alone could
+            drop a tied true neighbor; the final global window breaks
+            ties on dst id exactly)."""
             kk = min(k, cos.shape[1])
-            # argpartition then exact ordering of the short head
-            part = np.argpartition(-cos, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(np.arange(cos.shape[0]), kk)
-            cols = part.ravel()
+            kth = -np.partition(-cos, kk - 1, axis=1)[:, kk - 1]
+            rows, cols = np.where(cos >= kth[:, None])
             return pd.DataFrame({
                 "src": ids_a[rows], "dst": ids_b[cols],
                 "cosine": cos[rows, cols],
