@@ -247,8 +247,19 @@ def _asof_merge(
     p_b = probe.withColumn(
         bcol, F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     )
-    d_b = data.withColumn(
-        bcol, F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    # Prefix every data-side column: with same-named columns on both
+    # cogroup sides, Spark's column pruning resolves downstream column
+    # requirements BY NAME and silently prunes the data side's copies
+    # (observed on Spark 4: dk arrived without its key/ts columns when the
+    # consumer only referenced the output's probe-named columns).
+    dpfx = "__asof_d_"
+    d_sel = [F.col(k).alias(dpfx + k) for k in keys] + [
+        F.col(data_ts).alias(dpfx + data_ts)
+    ] + [F.col(c).alias(dpfx + c) for c in payload]
+    d_b = data.select(*d_sel).withColumn(
+        bcol,
+        F.pmod(F.xxhash64(*[dpfx + k for k in keys]), F.lit(n_buckets))
+        .cast("int"),
     )
 
     def merge(pk: "pd.DataFrame", dk: "pd.DataFrame") -> "pd.DataFrame":
@@ -261,8 +272,10 @@ def _asof_merge(
             for c in payload:
                 out[c] = None
             return out[probe_cols + ["matched_ts"] + payload]
-        right = dk[keys + [data_ts] + payload].rename(
-            columns={data_ts: "matched_ts"}
+        right = dk[[dpfx + c for c in keys + [data_ts] + payload]].rename(
+            columns={dpfx + data_ts: "matched_ts",
+                     **{dpfx + k: k for k in keys},
+                     **{dpfx + c: c for c in payload}}
         )
         right = right.sort_values("matched_ts", kind="mergesort")
         merged = pd.merge_asof(
