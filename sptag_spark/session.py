@@ -20,13 +20,15 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Arrow batch sizing is a throughput cliff in both directions: measured
-    # on the token kernel, 4096-row batches (~1M tokens, ~25 MB of numpy
-    # temporaries — cache-resident) run 2x faster than 64k-row batches
-    # (~550 MB churn per batch -> allocator/THP pressure) and scale 2->8
-    # cores at ~0.94 efficiency net of fixed costs. Keep batches small
-    # enough that a batch's working set stays near L3.
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    # Arrow batch sizing is a throughput AND scaling cliff: the per-batch
+    # numpy working set must stay cache-resident once every core runs a
+    # worker, or the kernels fight over shared L3/DRAM bandwidth and
+    # per-core throughput collapses as cores grow. Measured on the token
+    # kernel (1.6B tokens, 2 vs 8 cores): 64k-row batches = 2x slower
+    # absolute; 4096 rows = fast at low parallelism but 0.56-0.70 scaling
+    # efficiency; 1024 rows (~0.25M tokens, ~2 MB hot set per worker) =
+    # fastest absolute AND 0.90 scaling efficiency.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
