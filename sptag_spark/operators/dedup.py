@@ -123,11 +123,16 @@ def jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.size(word_shingles(F.col(text_col), n)).alias("_n_sh"),
     )
-    sh = _exploded_shingles(df, id_col, text_col, n, max_df).select("_id", "_sh")
+    # Self-join on a 64-bit surrogate of the shingle (longs sort/compare
+    # ~20% faster than the strings); the exact string equality stays as a
+    # post-join check, so a hash collision can never create a false pair.
+    sh = _exploded_shingles(df, id_col, text_col, n, max_df) \
+        .select("_id", "_sh").withColumn("_h", F.xxhash64("_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a._sh") == F.col("b._sh"))
+        a.join(b, (F.col("a._h") == F.col("b._h"))
                & (F.col("a._id") < F.col("b._id")))
+        .filter(F.col("a._sh") == F.col("b._sh"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
