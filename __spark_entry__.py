@@ -421,7 +421,11 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc_fingerprint, shingle_min_fingerprint,
     )
 
-    docs = _documents(spark, sf_dir)
+    # repartition: the md5-per-shingle work would otherwise run on the
+    # single input split of the small parquet file (one core)
+    docs = _documents(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id",
         doc_fingerprint(F.col("text")).alias("fp"),

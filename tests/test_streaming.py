@@ -186,3 +186,52 @@ def test_stream_asof_enrich_matches_batch(spark, events_dir, events_schema,
     )
     key = lambda r: (r["event_id"], r["matched_ts"], r["click_value"])
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late data beyond the watermark must NOT reopen a finalized session
+    (reference stale-version rejection, ExtraDynamicSearcher.h:680). Two
+    micro-batches: batch 2 carries an event hours older than batch 1's
+    max event time; with a tight watermark its session was already
+    finalized, so in append mode the late event cannot merge into it."""
+    import datetime as dt
+
+    from sptag_spark.streaming.jobs import stream_sessionize
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    src = str(tmp_path / "src")
+    schema_df = spark.createDataFrame(
+        [(1, 7, base)], ["event_id", "user_id", "ts"])
+    # batch 1: a session for user 7 plus a much later event that advances
+    # the stream's max event time far past the watermark
+    spark.createDataFrame(
+        [(1, 7, base), (2, 7, base + dt.timedelta(minutes=5)),
+         (3, 8, base + dt.timedelta(hours=10))],
+        ["event_id", "user_id", "ts"],
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema_df.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    sess = stream_sessionize(stream, keys=["user_id"], ts="ts",
+                             gap_seconds=1800, watermark="10 minutes")
+    out = str(tmp_path / "out")
+    q = (sess.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    first = spark.read.parquet(out)
+    u7 = first.filter("user_id = 7").collect()
+    assert len(u7) == 1 and u7[0]["n_events"] == 2  # session finalized
+
+    # batch 2: an event INSIDE user 7's old session window, but hours
+    # late — beyond the watermark, so the finalized session must not grow
+    spark.createDataFrame(
+        [(9, 7, base + dt.timedelta(minutes=6))],
+        ["event_id", "user_id", "ts"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = (sess.writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", str(tmp_path / "ck"))
+          .outputMode("append").trigger(availableNow=True).start())
+    q2.awaitTermination()
+    after = spark.read.parquet(out).filter("user_id = 7").collect()
+    assert all(r["n_events"] <= 2 for r in after)
+    assert sum(r["n_events"] for r in after) <= 3  # never merged into 3
