@@ -141,6 +141,95 @@ def cosine_near_dup_pairs(
     )
 
 
+def _sign_lsh_sketch(qcol: Column, dim: int, bits: int = 32,
+                     seed: int = 42) -> Column:
+    """Sign-random-projection sketch: bit j = sign(<v, plane_j>) with
+    deterministic ±1 hyperplanes derived from (seed, j, i) hashes — the
+    reference's random-hyperplane TPT splits (NeighborhoodGraph.h:246-306)
+    as a column expression. P[bit differs] = angle/pi, so hamming distance
+    estimates cosine similarity."""
+    import hashlib
+
+    def plane(j: int) -> list[int]:
+        out = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}|{j}|{i}".encode()).digest()[0]
+            out.append(1 if h & 1 else -1)
+        return out
+
+    terms = []
+    for j in range(bits):
+        p = plane(j)
+        plit = F.array(*[F.lit(v).cast("long") for v in p])
+        dot = idot(qcol, plit)
+        terms.append(
+            F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        )
+    sketch = terms[0]
+    for t in terms[1:]:
+        sketch = sketch + t
+    return sketch
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 32,
+    max_hamming: int = 7,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Approximate near-dup pairs: sign-LSH sketch -> banded candidate
+    join (pairs agreeing on >= 1 of n_bands sketch bands; pigeonhole
+    guarantees any pair within hamming max_hamming=n_bands-1 survives) ->
+    EXACT cosine verification of candidates only. Approximate solely in
+    candidate RECALL (a pair can differ in every band); every emitted
+    pair's cosine is exact, so precision is 1. The scale path when even
+    blocked matmuls are too big; recall-gated in tests."""
+    assert max_hamming <= n_bands - 1
+    band_bits = bits // n_bands
+    band_mask = (1 << band_bits) - 1
+    dim = len(df.select(vec_col).first()[0])
+    q = _with_quantized(df, id_col, vec_col).withColumn(
+        "_sk", _sign_lsh_sketch(F.col("_q"), dim, bits)
+    )
+    banded = q.select(
+        "_id", "_q", "_norm",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.col("_sk").bitwiseAND(
+                    F.lit(band_mask << (band_bits * j))
+                ).alias("bval"),
+            )
+            for j in range(n_bands)
+        ])).alias("b"),
+    ).select("_id", "_q", "_norm", "b.band", "b.bval")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bval") == F.col("b.bval"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+            F.col("a._q").alias("_qa"), F.col("b._q").alias("_qb"),
+            F.col("a._norm").alias("_na"), F.col("b._norm").alias("_nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            cosine_from_quantized(
+                idot(F.col("_qa"), F.col("_qb")), F.col("_na"), F.col("_nb")
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def cosine_near_dup_pairs_blocked(
     df: DataFrame,
     threshold: float = 0.95,

@@ -38,3 +38,24 @@ def test_no_self_or_reversed_pairs(emb):
     # no duplicates across block pairs
     keys = [(r["id_a"], r["id_b"]) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_lsh_near_dup_recall_and_precision(emb):
+    """Sign-LSH candidates + exact verify: precision must be 1 (emitted
+    cosines are exact and thresholded); recall gated vs the exact pairs
+    (reference recall-harness style)."""
+    from sptag_spark.operators.knn import (
+        cosine_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in cosine_near_dup_pairs(emb, threshold=0.3).collect()}
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in lsh_near_dup_pairs(emb, threshold=0.3).collect()}
+    # precision 1: every returned pair is a true pair with the exact value
+    for k, v in got.items():
+        assert k in exact and exact[k] == v
+    # recall: sign-LSH with 8 bands of 4 bits on cosine~0.3 pairs
+    recall = len(got) / len(exact)
+    assert recall >= 0.5, f"recall = {recall}"
