@@ -583,6 +583,15 @@ WHERE cosine >= 0.4
 """
 
 
+def _q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-recall scale path (sign-LSH candidates + exact
+    verify); no SQL oracle — candidate recall is probabilistic, but every
+    emitted cosine is exact (tested vs the exact operator)."""
+    from sptag_spark.operators.knn import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
+
+
 def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.operators.knn import ivf_topk
 
@@ -783,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_topk": _q_knn_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "ivf_knn_topk": _q_ivf_knn,  # approximate: rows-only check (no oracle)
+        "lsh_near_dup": _q_lsh_near_dup,  # approximate recall: rows-only check
         "current_state_upsert": _q_current_state,
         "dedup_apply_anti": _q_dedup_apply,
         "rank_join_multi_index": _q_rank_join,
