@@ -117,6 +117,63 @@ ON p.user_id = c.user_id AND p.ts > c.ts
 """
 
 
+def _q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of: match only within the last hour (the
+    reference's maxDistRatio cutoff P6 transposed to time)."""
+    from sptag_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    probe = ev.filter("event_type='purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter("event_type='click'").select(
+        "user_id", "ts",
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    return asof_join(probe, clicks, on="user_id", probe_ts="ts",
+                     data_ts="ts", strategy="merge",
+                     tolerance_seconds=3600)
+
+
+# The as-of match is the LATEST row <= ts, so "within tolerance" is just
+# a null-out of too-stale matches: no other candidate could be newer.
+_ASOF_TOL_ORACLE = """
+WITH m AS (
+  SELECT p.event_id, p.user_id, p.ts, c.ts AS matched_ts,
+         c.value AS click_value, c.event_id AS click_event_id
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+  ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type='click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts)
+SELECT event_id, user_id, ts,
+  CASE WHEN matched_ts >= ts - INTERVAL 1 HOUR THEN matched_ts END AS matched_ts,
+  CASE WHEN matched_ts >= ts - INTERVAL 1 HOUR THEN click_value END AS click_value,
+  CASE WHEN matched_ts >= ts - INTERVAL 1 HOUR THEN click_event_id END AS click_event_id
+FROM m
+"""
+
+
+def _q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.grouping("source").cast("int").alias("g_source"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+        )
+    )
+
+
+_CORPUS_CUBE_ORACLE = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       CAST(GROUPING(lang) AS INT) AS g_lang
+FROM documents GROUP BY CUBE(source, lang)
+"""
+
+
 def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.operators.windows import with_lag_lead
 
@@ -773,6 +830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_broadcast": _q_asof("broadcast"),
         "asof_join_merge": _q_asof("merge"),
         "asof_join_strict": _q_asof_strict,
+        "asof_join_tolerance_1h": _q_asof_tolerance,
         "lag_lead": _q_lag_lead,
         "rolling_rows": _q_rolling_rows,
         "rolling_range_1h": _q_rolling_range,
@@ -799,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _q_knn_graph,
         "json_extract_agg": _q_json_extract,
         "corpus_stats_rollup": _q_corpus_rollup,
+        "corpus_stats_cube": _q_corpus_cube,
     }
 
 
@@ -808,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_broadcast": _ASOF_ORACLE,
         "asof_join_merge": _ASOF_ORACLE,
         "asof_join_strict": _ASOF_STRICT_ORACLE,
+        "asof_join_tolerance_1h": _ASOF_TOL_ORACLE,
         "lag_lead": _LAG_LEAD_ORACLE,
         "rolling_rows": _ROLLING_ROWS_ORACLE,
         "rolling_range_1h": _ROLLING_RANGE_ORACLE,
@@ -832,4 +892,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": _KNN_GRAPH_ORACLE,
         "json_extract_agg": _JSON_EXTRACT_ORACLE,
         "corpus_stats_rollup": _CORPUS_ROLLUP_ORACLE,
+        "corpus_stats_cube": _CORPUS_CUBE_ORACLE,
     }
