@@ -44,7 +44,12 @@ from typing import Iterable
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import (
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 _PROBE_TAG = "__asof_is_probe"
 _TS = "__asof_ts"
@@ -242,7 +247,17 @@ def _asof_merge(
 
     probe_cols = list(probe.columns)
     allow_exact = not strict
-    tol = pd.Timedelta(seconds=tolerance_seconds) if tolerance_seconds else None
+    # `is not None`, not truthiness: tolerance_seconds=0 is a real bound
+    # (match only rows at exactly the probe timestamp), not "no tolerance".
+    ts_is_datetime = isinstance(
+        probe.schema[probe_ts].dataType, (TimestampType, TimestampNTZType)
+    )
+    if tolerance_seconds is None:
+        tol = None
+    elif ts_is_datetime:
+        tol = pd.Timedelta(seconds=tolerance_seconds)
+    else:  # numeric (epoch) timestamps: tolerance in the same units
+        tol = tolerance_seconds
     bcol = "__asof_bucket"
     p_b = probe.withColumn(
         bcol, F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
@@ -268,7 +283,10 @@ def _asof_merge(
         left = pk.sort_values(probe_ts, kind="mergesort")
         if dk.empty:
             out = left.copy()
-            out["matched_ts"] = pd.NaT
+            # NA typed to the ts column: NaT only for datetimes — a
+            # hardcoded NaT breaks Arrow conversion when timestamps are
+            # epoch numbers.
+            out["matched_ts"] = pd.NaT if ts_is_datetime else None
             for c in payload:
                 out[c] = None
             return out[probe_cols + ["matched_ts"] + payload]

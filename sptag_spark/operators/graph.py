@@ -93,13 +93,17 @@ def build_knn_graph(
             """per row of `ids_a`, all entries >= the row's k-th cosine —
             ties at the boundary are INCLUDED (argpartition alone could
             drop a tied true neighbor; the final global window breaks
-            ties on dst id exactly)."""
+            ties on dst id exactly). Non-finite entries (the -inf masked
+            diagonal) are dropped: when a row has fewer than k real
+            candidates the k-th cosine is -inf and `cos >= kth` would
+            otherwise emit the masked self edge as a bogus candidate."""
             kk = min(k, cos.shape[1])
             kth = -np.partition(-cos, kk - 1, axis=1)[:, kk - 1]
-            rows, cols = np.where(cos >= kth[:, None])
+            rows, cols = np.where((cos >= kth[:, None]) & np.isfinite(cos))
+            keep = ids_a[rows] != ids_b[cols]
             return pd.DataFrame({
-                "src": ids_a[rows], "dst": ids_b[cols],
-                "cosine": cos[rows, cols],
+                "src": ids_a[rows][keep], "dst": ids_b[cols][keep],
+                "cosine": cos[rows, cols][keep],
             })
 
         both = pdf[pdf["_side"] == "B"]

@@ -60,6 +60,52 @@ def _salt_expr(key: str, salt_map: dict, jitter: Column) -> Column:
     return F.pmod(jitter, n).cast("int")
 
 
+# Beyond this many hot keys a when-chain expression stops being the right
+# plan (one branch per key, evaluated per row); switch to a broadcast
+# map-side join against a tiny (key, n_salts) frame.
+_WHEN_CHAIN_MAX = 64
+
+_NSALTS_COL = "__n_salts"
+
+
+def _row_jitter(df: DataFrame) -> Column:
+    """Deterministic per-row jitter: hash of the full row CONTENT.
+
+    monotonically_increasing_id()/rand() are nondeterministic across task
+    retries — on a fetch failure the recomputed rows could land in
+    different salt buckets than copies already consumed downstream,
+    silently double-counting or dropping rows. Content-derived hashes
+    reproduce exactly under recomputation (identical rows share a salt,
+    which is harmless: they are interchangeable in any agg/join)."""
+    return F.xxhash64(*[F.col(c) for c in df.columns])
+
+
+def _with_nsalts(df: DataFrame, key: str, salt_map: dict) -> DataFrame:
+    """Attach per-row salt count (1 for cold keys) via broadcast join —
+    the scale path when the hot-key set outgrows a when-chain."""
+    spark = df.sparkSession
+    hot = spark.createDataFrame(
+        [(k, int(v)) for k, v in salt_map.items()],
+        schema=f"{key} {df.schema[key].dataType.simpleString()}, "
+               f"{_NSALTS_COL} int",
+    )
+    return df.join(F.broadcast(hot), key, "left").withColumn(
+        _NSALTS_COL, F.coalesce(F.col(_NSALTS_COL), F.lit(1))
+    )
+
+
+def _with_salt(df: DataFrame, key: str, salt_map: dict) -> DataFrame:
+    """df + SALT_COL (deterministic, uniform within each hot key)."""
+    if len(salt_map) <= _WHEN_CHAIN_MAX:
+        return df.withColumn(
+            SALT_COL, _salt_expr(key, salt_map, _row_jitter(df))
+        )
+    jit = _row_jitter(df)
+    return _with_nsalts(df, key, salt_map).withColumn(
+        SALT_COL, F.pmod(jit, F.col(_NSALTS_COL)).cast("int")
+    ).drop(_NSALTS_COL)
+
+
 def salted_agg(
     df: DataFrame,
     key: str,
@@ -79,10 +125,7 @@ def salted_agg(
     does (see __spark_entry__ docstring)."""
     if salt_map is None:
         salt_map = plan_salts(df, key, target_rows_per_task)
-    salted = df.withColumn(
-        SALT_COL,
-        _salt_expr(key, salt_map, F.xxhash64(F.monotonically_increasing_id())),
-    )
+    salted = _with_salt(df, key, salt_map)
     partial = salted.groupBy(key, SALT_COL).agg(
         F.sum(value_col).alias("_s"),
         F.count(value_col).alias("_c"),
@@ -110,14 +153,16 @@ def salted_join(
     """Equi-join where `big` has hot keys: big rows salt uniformly, small
     rows replicate per salt (reference replicaCount pattern). Columns of
     both frames survive; the salt column does not."""
-    big_s = big.withColumn(
-        SALT_COL,
-        _salt_expr(key, salt_map, F.xxhash64(F.monotonically_increasing_id())),
-    )
-    n = F.lit(1)
-    for kv, s in salt_map.items():
-        n = F.when(F.col(key) == F.lit(kv), F.lit(int(s))).otherwise(n)
-    small_r = small.withColumn(
-        SALT_COL, F.explode(F.sequence(F.lit(0), n - 1))
-    )
+    big_s = _with_salt(big, key, salt_map)
+    if len(salt_map) <= _WHEN_CHAIN_MAX:
+        n = F.lit(1)
+        for kv, s in salt_map.items():
+            n = F.when(F.col(key) == F.lit(kv), F.lit(int(s))).otherwise(n)
+        small_r = small.withColumn(
+            SALT_COL, F.explode(F.sequence(F.lit(0), n - 1))
+        )
+    else:
+        small_r = _with_nsalts(small, key, salt_map).withColumn(
+            SALT_COL, F.explode(F.sequence(F.lit(0), F.col(_NSALTS_COL) - 1))
+        ).drop(_NSALTS_COL)
     return big_s.join(small_r, [key, SALT_COL], how).drop(SALT_COL)

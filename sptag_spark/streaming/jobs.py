@@ -18,6 +18,8 @@ no timing races).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -191,6 +193,24 @@ def incremental_append(
     return writer.start()
 
 
+def _asof_enrich_handler(features: DataFrame, on: str, probe_ts: str,
+                         data_ts: str, out_path: str):
+    """foreachBatch handler for stream_asof_enrich; module-level so the
+    replay-idempotency property is directly testable."""
+    from sptag_spark.operators.asof import asof_join
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        enriched = asof_join(batch, features, on=on, probe_ts=probe_ts,
+                             data_ts=data_ts, strategy="broadcast")
+        enriched.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch={batch_id}")
+        )
+
+    return handle
+
+
 def stream_asof_enrich(
     probe_stream: DataFrame,
     features: DataFrame,
@@ -201,21 +221,19 @@ def stream_asof_enrich(
     checkpoint_path: str,
 ):
     """Streaming point-in-time enrichment: each micro-batch of probes is
-    as-of joined against the (static) feature table and appended — the
+    as-of joined against the (static) feature table and written — the
     serving loop of the reference's SearchIndex under continuous query
-    load (SPANNIndex.cpp:293-395), with exactly-once sink semantics from
-    the streaming checkpoint. Micro-batches are small by construction, so
-    the join auto-routes to the broadcast strategy (features never
-    shuffle)."""
-    from sptag_spark.operators.asof import asof_join
+    load (SPANNIndex.cpp:293-395). Micro-batches are small by
+    construction, so the join auto-routes to the broadcast strategy
+    (features never shuffle).
 
-    def handle(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        enriched = asof_join(batch, features, on=on, probe_ts=probe_ts,
-                             data_ts=data_ts, strategy="broadcast")
-        enriched.write.mode("append").parquet(out_path)
-
+    Exactly-once OUTPUT despite foreachBatch's at-least-once invocation:
+    each batch lands in a deterministic `batch=<id>` subdirectory with
+    mode('overwrite'), so a micro-batch replayed after a crash (write
+    succeeded, checkpoint commit didn't) rewrites the same directory
+    instead of appending duplicates. Readers see `batch` as a hive
+    partition column of the output."""
+    handle = _asof_enrich_handler(features, on, probe_ts, data_ts, out_path)
     return (
         probe_stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_path)

@@ -123,3 +123,39 @@ def test_broadcast_keeps_duplicate_probe_rows(spark):
                         payload=["v"], strategy=strat).collect()
         assert len(out) == 2, strat
         assert all(r["v"] == 42.0 for r in out), strat
+
+
+def test_merge_tolerance_zero_means_exact_match_only(spark):
+    """tolerance_seconds=0 is a real bound (exact-timestamp matches only),
+    not 'no tolerance' — regression for the truthiness bug."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    probe = spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(seconds=10))], ["k", "ts"])
+    data = spark.createDataFrame(
+        [(1, t0, 1.0), (2, t0, 2.0)], ["k", "ts", "v"])
+    out = {r["k"]: r for r in asof_join(
+        probe, data, on="k", probe_ts="ts", data_ts="ts", payload=["v"],
+        strategy="merge", tolerance_seconds=0).collect()}
+    assert out[1]["v"] == 1.0          # exact-ts match survives tol=0
+    assert out[2]["v"] is None         # 10s-stale match rejected
+
+
+def test_merge_numeric_epoch_timestamps(spark):
+    """Numeric (epoch-seconds) ts columns work through the merge path,
+    including the empty-data-bucket branch (NaT would break Arrow)."""
+    probe = spark.createDataFrame(
+        [(1, 100.0), (2, 250.0)], ["k", "ts"])
+    data = spark.createDataFrame(
+        [(1, 90.0, 7.0)], ["k", "ts", "v"])
+    out = {r["k"]: r for r in asof_join(
+        probe, data, on="k", probe_ts="ts", data_ts="ts", payload=["v"],
+        strategy="merge", tolerance_seconds=30).collect()}
+    assert out[1]["v"] == 7.0 and out[1]["matched_ts"] == 90.0
+    assert out[2]["v"] is None
+    # empty data side entirely: every bucket takes the dk.empty branch
+    empty = data.filter("k < 0")
+    out2 = asof_join(probe, empty, on="k", probe_ts="ts", data_ts="ts",
+                     payload=["v"], strategy="merge").collect()
+    assert len(out2) == 2 and all(r["v"] is None for r in out2)

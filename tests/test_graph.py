@@ -88,3 +88,17 @@ def test_rng_prunes_occluded_neighbor(spark):
     pruned = rng_prune(graph, df, max_degree=3)
     kept = {r["dst"] for r in pruned.filter("src = 0").collect()}
     assert 1 in kept and 2 not in kept and 3 in kept
+
+
+def test_no_self_edges_when_candidates_scarce(spark):
+    """N-1 < k: the -inf-masked diagonal must not leak a (src, src, -inf)
+    edge through the local top-k boundary-tie logic."""
+    rows = [(i, [1.0 * (i == j) for j in range(4)]) for i in range(3)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    g = build_knn_graph(df, k=6, n_blocks=8).collect()
+    assert all(r["src"] != r["dst"] for r in g)
+    assert all(r["cosine"] == r["cosine"] and abs(r["cosine"]) != float("inf")
+               for r in g)
+    # every row still gets its N-1 real neighbors
+    from collections import Counter
+    assert Counter(r["src"] for r in g) == {0: 2, 1: 2, 2: 2}

@@ -82,3 +82,37 @@ def test_salted_join_equals_plain(skewed, spark):
     ws = want.groupBy("source").agg(
         F.sum("n_tok").alias("s"), F.sum("weight").alias("w")).collect()
     assert {tuple(r) for r in gs} == {tuple(r) for r in ws}
+
+
+def test_salt_is_deterministic_across_evaluations(skewed):
+    """Salts derive from row CONTENT (retry-safe), never from
+    monotonically_increasing_id/rand: two independent evaluations of the
+    same plan must produce identical per-row salts."""
+    from sptag_spark.operators.skew import _with_salt
+
+    plan = plan_salts(skewed, "source", target_rows_per_task=5_000)
+    salted = _with_salt(skewed, "source", plan)
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+
+
+def test_large_salt_map_broadcast_path(skewed, spark):
+    """> _WHEN_CHAIN_MAX hot keys routes through the broadcast-map join
+    and still agrees with the plain aggregation."""
+    from sptag_spark.operators.skew import _WHEN_CHAIN_MAX
+
+    big = skewed.withColumn("kk", F.pmod(F.xxhash64("doc_id"), F.lit(200)))
+    plan = {i: 3 for i in range(_WHEN_CHAIN_MAX + 10)}
+    got = {(r["kk"], r["sum_n_tok"], r["count_n_tok"])
+           for r in salted_agg(big, "kk", "n_tok", salt_map=plan).collect()}
+    want = {(r["kk"], r["s"], r["c"])
+            for r in big.groupBy("kk").agg(
+                F.sum("n_tok").alias("s"),
+                F.count("n_tok").alias("c")).collect()}
+    assert got == want
+    # join path too
+    dim = spark.createDataFrame([(i, float(i)) for i in range(200)],
+                                ["kk", "w"])
+    j = salted_join(big.select("kk", "n_tok"), dim, "kk", plan)
+    assert j.count() == big.count()

@@ -235,3 +235,28 @@ def test_watermark_drops_late_events(spark, tmp_path):
     after = spark.read.parquet(out).filter("user_id = 7").collect()
     assert all(r["n_events"] <= 2 for r in after)
     assert sum(r["n_events"] for r in after) <= 3  # never merged into 3
+
+
+def test_asof_enrich_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch (same
+    batch_id) must not duplicate output rows — each batch overwrites its
+    own batch=<id> directory."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sptag_spark.streaming.jobs import _asof_enrich_handler
+
+    t0 = dt.datetime(2025, 1, 1)
+    probes = spark.createDataFrame(
+        [(1, 7, t0), (2, 7, t0 + dt.timedelta(minutes=1))],
+        ["event_id", "user_id", "ts"])
+    features = spark.createDataFrame(
+        [(7, t0 - dt.timedelta(minutes=5), 3.5)],
+        ["user_id", "ts", "click_value"])
+    out = str(tmp_path / "enriched")
+    handle = _asof_enrich_handler(features, "user_id", "ts", "ts", out)
+    handle(probes, 0)
+    n1 = spark.read.parquet(out).count()
+    handle(probes, 0)  # crash-replay of the same micro-batch
+    assert spark.read.parquet(out).count() == n1 == 2
