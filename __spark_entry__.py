@@ -586,6 +586,15 @@ WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
 """
 
 
+# Quantized-cosine SQL fragment shared by the embedding oracles:
+# exact integer dot / (sqrt(na) * sqrt(nb)) in IEEE float64.
+_COS = (
+    "CAST(list_sum(list_transform(range(1, len({a}.q)+1),"
+    " i -> {a}.q[i]*{b}.{bq}[i])) AS DOUBLE)"
+    " / (sqrt(CAST({a}.nrm AS DOUBLE)) * sqrt(CAST({b}.{bn} AS DOUBLE)))"
+)
+
+
 def _q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sptag_spark.operators.knn import brute_force_topk
 
@@ -641,20 +650,142 @@ WHERE cosine >= 0.4
 
 
 def _q_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate-recall scale path (sign-LSH candidates + exact
-    verify); no SQL oracle — candidate recall is probabilistic, but every
-    emitted cosine is exact (tested vs the exact operator)."""
+    """Approximate-RECALL scale path (sign-LSH candidates + exact
+    verify) — but fully deterministic: the ±1 hyperplanes derive from
+    md5(seed|bit|dim) bytes, so DuckDB replicates sketches, banding, and
+    the exact-cosine verification byte-for-byte. Oracle-checked."""
     from sptag_spark.operators.knn import lsh_near_dup_pairs
 
     return lsh_near_dup_pairs(_embeddings(spark, sf_dir), threshold=0.4)
 
 
+# Sign-LSH replicated relationally: plane bit (j,i) = first md5 byte of
+# '42|j|i' & 1 (the engine's _lsh_planes family); sketch bit j set iff the
+# exact integer dot against plane j is > 0; 8 bands of 4 bits; candidates
+# agree on >= 1 band; emitted pairs verified with the exact cosine.
+_LSH_NEAR_DUP_ORACLE = f"""
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+sk AS (
+  SELECT a.vec_id,
+    CAST(list_sum(list_transform(range(0, 32), j ->
+      CASE WHEN list_sum(list_transform(range(1, len(a.q)+1), i ->
+        a.q[i] * (CASE WHEN (('0x' || substr(md5(
+            '42|' || CAST(j AS VARCHAR) || '|' || CAST(i-1 AS VARCHAR)
+          ), 1, 2))::BIGINT & 1) = 1 THEN 1 ELSE -1 END)
+      )) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+    )) AS BIGINT) AS sk
+  FROM n a),
+banded AS (
+  SELECT vec_id, b.j AS band,
+         sk & (CAST(15 AS BIGINT) << (4 * CAST(b.j AS INT))) AS bval
+  FROM sk, range(0, 8) AS b(j)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM (
+  SELECT c.id_a, c.id_b,
+    {_COS.format(a='na', b='nb', bq='q', bn='nrm')} AS cosine
+  FROM cand c
+  JOIN n na ON na.vec_id = c.id_a
+  JOIN n nb ON nb.vec_id = c.id_b)
+WHERE cosine >= 0.4
+"""
+
+
 def _q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sptag_spark.operators.knn import ivf_topk
+    """Build a PERSISTED IVF index (postings partitionBy bucket +
+    centroid table), then probe it with a partition-pruned scan — the
+    reference's BuildIndex/SearchIndex split (SPANNIndex.cpp:309-372).
+    Deterministic end-to-end (md5 head selection + exact integer math),
+    so the oracle replicates the full approximate pipeline in SQL."""
+    import tempfile
+
+    from sptag_spark.operators.knn import ivf_build, ivf_probe
 
     emb = _embeddings(spark, sf_dir)
-    return ivf_topk(emb, emb.filter("vec_id < 8"), k=10,
-                    n_centroids=32, nprobe=4)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sptag_ivf_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ivf_build(emb, n_centroids=32, path=path)
+    return ivf_probe(spark, path, emb.filter("vec_id < 8"), k=10, nprobe=4)
+
+
+# The IVF pipeline replicated relationally: md5-ordered head selection,
+# argmax bucket assignment, top-nprobe probes, pruned scoring, top-k.
+_IVF_ORACLE = f"""
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+cent AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm FROM (
+    SELECT vec_id, q, nrm FROM n
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32)),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT c.vec_id, ct.cid,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        {_COS.format(a='c', b='ct', bq='cq', bn='cnrm')} DESC, ct.cid) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, cid AS bucket FROM (
+    SELECT qy.vec_id AS query_id, ct.cid,
+      row_number() OVER (PARTITION BY qy.vec_id ORDER BY
+        {_COS.format(a='qy', b='ct', bq='cq', bn='cnrm')} DESC, ct.cid) AS rn
+    FROM n qy CROSS JOIN cent ct WHERE qy.vec_id < 8)
+  WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+    {_COS.format(a='c', b='qy', bq='q', bn='nrm')} AS cosine
+  FROM probes p
+  JOIN assign a ON a.bucket = p.bucket
+  JOIN n c ON c.vec_id = a.vec_id
+  JOIN n qy ON qy.vec_id = p.query_id
+  WHERE c.vec_id <> p.query_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+def _q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN as one query (reference SearchIndexWithFilter,
+    VectorIndex.h:59): metadata predicate pushed below the scoring join
+    into the parquet scan (plan asserted in tests/test_plans.py)."""
+    from sptag_spark.operators.knn import filtered_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return filtered_topk(emb, emb.filter("vec_id < 8"), "label = 1", k=10)
+
+
+_FILTERED_KNN_ORACLE = f"""
+WITH v AS (SELECT vec_id, label,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, label, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+scored AS (
+  SELECT qy.vec_id AS query_id, c.vec_id,
+    {_COS.format(a='c', b='qy', bq='q', bn='nrm')} AS cosine
+  FROM n c JOIN n qy
+    ON qy.vec_id < 8 AND c.vec_id <> qy.vec_id AND c.label = 1)
+SELECT * FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
 
 
 def _q_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,8 +980,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "knn_cosine_topk": _q_knn_topk,
         "embedding_near_dup": _q_embedding_near_dup,
-        "ivf_knn_topk": _q_ivf_knn,  # approximate: rows-only check (no oracle)
-        "lsh_near_dup": _q_lsh_near_dup,  # approximate recall: rows-only check
+        "ivf_knn_topk": _q_ivf_knn,
+        "filtered_knn_topk": _q_filtered_knn,
+        "lsh_near_dup": _q_lsh_near_dup,
         "current_state_upsert": _q_current_state,
         "dedup_apply_anti": _q_dedup_apply,
         "rank_join_multi_index": _q_rank_join,
@@ -886,6 +1018,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(32, 3),
         "knn_cosine_topk": _KNN_ORACLE,
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
+        "ivf_knn_topk": _IVF_ORACLE,
+        "filtered_knn_topk": _FILTERED_KNN_ORACLE,
+        "lsh_near_dup": _LSH_NEAR_DUP_ORACLE,
         "current_state_upsert": _CURRENT_STATE_ORACLE,
         "dedup_apply_anti": _DEDUP_APPLY_ORACLE,
         "rank_join_multi_index": _RANK_JOIN_ORACLE,

@@ -107,6 +107,30 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    predicate,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Filtered ANN as ONE query (reference SearchIndexWithFilter,
+    VectorIndex.h:59 / BKTIndex.cpp:504-568): the metadata predicate is
+    applied below the scoring join — Catalyst pushes it into the parquet
+    scan (asserted in tests/test_plans.py), so filtered rows are never
+    scored, exactly like the reference's in-loop filter before heap
+    insert (BKTIndex.cpp:336,352).
+
+    `predicate` is a Column or SQL string over corpus columns.
+    """
+    return brute_force_topk(
+        corpus.filter(predicate), queries, k=k,
+        id_col=id_col, vec_col=vec_col, **kwargs,
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -157,23 +181,26 @@ def _lsh_planes(dim: int, bits: int = 32, seed: int = 42) -> "np.ndarray":
     return planes
 
 
-def _with_lsh_sketch(q: DataFrame, dim: int, bits: int = 32,
+def _with_lsh_sketch(q: DataFrame, bits: int = 32,
                      seed: int = 42) -> DataFrame:
     """Add `_sk` (int64 sketch) to a (_id, _q, _norm) frame: bit j =
     sign(<v, plane_j>) computed as ONE numpy matmul per Arrow batch —
     exact integer dots, identical to the per-bit expression form but two
-    orders of magnitude fewer expression evaluations."""
+    orders of magnitude fewer expression evaluations.
+
+    The plane matrix derives from the first batch's row width — no
+    driver-side `first()` job runs before the plan is built."""
     import numpy as np
     import pyarrow as pa
     from pyspark.sql.types import LongType, StructField, StructType
 
-    planes = _lsh_planes(dim, bits, seed)
     weights = (1 << np.arange(bits, dtype=np.int64))
     out_schema = StructType(
         list(q.schema.fields) + [StructField("_sk", LongType())]
     )
 
     def run(batches):
+        planes = None
         for batch in batches:
             col = batch.column("_q")
             if isinstance(col, pa.ChunkedArray):
@@ -182,6 +209,8 @@ def _with_lsh_sketch(q: DataFrame, dim: int, bits: int = 32,
             if len(X) == 0:
                 sk = np.array([], dtype=np.int64)
             else:
+                if planes is None:
+                    planes = _lsh_planes(X.shape[1], bits, seed)
                 dots = X @ planes.T               # (n, bits), exact int64
                 sk = ((dots > 0).astype(np.int64) * weights).sum(axis=1)
             yield pa.RecordBatch.from_arrays(
@@ -211,13 +240,12 @@ def lsh_near_dup_pairs(
     assert max_hamming <= n_bands - 1
     band_bits = bits // n_bands
     band_mask = (1 << band_bits) - 1
-    dim = len(df.select(vec_col).first()[0])
     # a small single-split input would pin the sketch to one core
     # (no-op when the scan is already wide)
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
-    q = _with_lsh_sketch(_with_quantized(df, id_col, vec_col), dim, bits)
+    q = _with_lsh_sketch(_with_quantized(df, id_col, vec_col), bits)
     banded = q.select(
         "_id", "_q", "_norm",
         F.explode(F.array(*[
@@ -362,8 +390,10 @@ def select_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Deterministic head selection: the n_centroids rows with the
-    smallest xxhash64(id) — a seeded uniform sample, the moral equivalent
-    of the reference's SelectHead ratio sampling (SPANNIndex.cpp:901-938).
+    smallest md5(id) — a seeded uniform sample, the moral equivalent of
+    the reference's SelectHead ratio sampling (SPANNIndex.cpp:901-938).
+    md5 (not xxhash64) so the DuckDB oracle can replicate the selection
+    byte-for-byte and the whole IVF pipeline becomes oracle-checkable.
 
     orderBy().limit() compiles to TakeOrdered (distributed per-partition
     top-k + small merge) — NOT a global row_number window, which would
@@ -371,7 +401,7 @@ def select_centroids(
     """
     return (
         corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),
@@ -380,71 +410,147 @@ def select_centroids(
     )
 
 
+def _collect_centroids(centroids: DataFrame):
+    """Centroid table -> (ids ascending, quantized int64 matrix, norms).
+
+    Centroids are tiny by construction (the head set); they ride to every
+    task inside the Arrow-kernel closure — the reference's in-memory head
+    index (SPANNIndex.cpp:293-341). Ascending-id order makes numpy's
+    first-max argmax identical to the (cosine DESC, id ASC) tiebreak."""
+    import numpy as np
+
+    # Quantize with the JVM expression (HALF_UP round), NOT np.round
+    # (HALF_EVEN): the matrix must match the scoring path and the DuckDB
+    # oracle bit-for-bit.
+    rows = sorted(
+        centroids.select(
+            "centroid_id", quantize(F.col("centroid_vec")).alias("_cq")
+        ).collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    ids = [r["centroid_id"] for r in rows]
+    mat = np.array([r["_cq"] for r in rows], dtype=np.int64)
+    norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+    return ids, mat, norms
+
+
+def _nearest_centroid_kernel(cent_ids, cent_mat, cent_norms, nprobe: int):
+    """Per Arrow batch: exact int64 matmul against the centroid matrix,
+    cosine = dot/(sqrt(na)*sqrt(nb)) in IEEE float64 (bit-identical to
+    the expression/DuckDB form), top-nprobe by (cosine DESC, id ASC)."""
+    import numpy as np
+
+    def top(X: "np.ndarray"):
+        # X: (n, dim) int64 quantized vectors -> (n, nprobe) centroid ids
+        norms = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+        dots = X @ cent_mat.T                               # exact int64
+        cos = dots / (norms[:, None] * cent_norms[None, :])
+        if nprobe == 1:
+            # first-max == lowest centroid id on ties (ids ascending)
+            return np.asarray(cent_ids)[np.argmax(cos, axis=1)][:, None]
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+        return np.asarray(cent_ids)[order]
+
+    return top
+
+
 def assign_buckets(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid assignment via broadcast argmin (reference J1,
-    VectorIndex.cpp:1144-1254). Adds a `bucket` column; write with
+    """Nearest-centroid assignment (reference J1, VectorIndex.cpp:
+    1144-1254) with ZERO shuffle: quantization stays a JVM expression
+    (HALF_UP round, identical to the scoring path), then one numpy matmul
+    per Arrow batch computes the argmax — no corpus×centroid join
+    materialized, no per-row window. Adds a `bucket` column; write with
     .partitionBy('bucket') to get partition-pruned probes."""
-    c = _with_quantized(corpus, id_col, vec_col)
-    cent = _with_quantized(centroids, "centroid_id", "centroid_vec") \
-        .withColumnRenamed("_id", "_cid") \
-        .withColumnRenamed("_q", "_cq") \
-        .withColumnRenamed("_norm", "_cnorm")
-    scored = c.join(F.broadcast(cent)).withColumn(
-        "cosine",
-        cosine_from_quantized(
-            idot(F.col("_q"), F.col("_cq")), F.col("_norm"), F.col("_cnorm")
-        ),
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import StructField, StructType
+
+    cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
+    top = _nearest_centroid_kernel(cent_ids, cent_mat, cent_norms, 1)
+    bucket_type = centroids.schema["centroid_id"].dataType
+    with_q = corpus.withColumn("__q", quantize(F.col(vec_col)))
+    out_schema = StructType(
+        list(corpus.schema.fields) + [StructField("bucket", bucket_type)]
     )
-    w = Window.partitionBy("_id").orderBy(
-        F.col("cosine").desc(), F.col("_cid").asc()
-    )
-    assigned = (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(F.col("_id").alias(id_col), F.col("_cid").alias("bucket"))
-    )
-    return corpus.join(assigned, id_col)
+    out_names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        for batch in batches:
+            col = batch.column("__q")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            X = np.array(col.to_pylist(), dtype=np.int64)
+            if len(X) == 0:
+                buckets = np.array([], dtype=np.int64)
+            else:
+                buckets = top(X)[:, 0]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(n) for n in out_names[:-1]]
+                + [pa.array(buckets)],
+                names=out_names,
+            )
+
+    return with_q.mapInArrow(run, schema=out_schema)
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def _probe_buckets(
     queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 32,
-    nprobe: int = 4,
+    centroids: DataFrame,
+    nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: probe only the nprobe nearest buckets per query.
+    """(query_id, bucket) — the nprobe nearest centroids per query, via
+    the same Arrow kernel (no join, no window)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import StructField, StructType
 
-    recall < 1 by design; tests gate recall@k vs brute_force_topk, the
-    reference's own accuracy harness shape (TruthSet.h:242-285).
-    """
-    centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
-    bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
-    # nprobe nearest centroids per query (tiny broadcast join)
-    probes = brute_force_topk(
-        centroids, queries, k=nprobe,
-        id_col="centroid_id", vec_col="centroid_vec",
-        query_id_col=id_col, query_vec_col=vec_col, exclude_self=False,
-    ).select(
-        F.col("query_id"), F.col("vec_id").alias("bucket")
+    cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
+    top = _nearest_centroid_kernel(cent_ids, cent_mat, cent_norms, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("__q")
     )
-    # The query column name on brute_force_topk's corpus side is centroid_id;
-    # rebuild queries with their vectors for the final scoring pass.
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    candidates = (
-        bucketed.join(F.broadcast(probes), "bucket")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .join(F.broadcast(qvec), "query_id")
-    )
+    out_schema = StructType([
+        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("bucket", centroids.schema["centroid_id"].dataType),
+    ])
+
+    def run(batches):
+        for batch in batches:
+            col = batch.column("__q")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            X = np.array(col.to_pylist(), dtype=np.int64)
+            if len(X) == 0:
+                continue
+            b = top(X)                                  # (n, nprobe)
+            n, m = b.shape
+            qid = batch.column("query_id")
+            if isinstance(qid, pa.ChunkedArray):
+                qid = qid.combine_chunks()
+            qids = np.repeat(qid.to_numpy(zero_copy_only=False), m)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(qids), pa.array(b.reshape(-1))],
+                names=["query_id", "bucket"],
+            )
+
+    return q.mapInArrow(run, schema=out_schema)
+
+
+def _score_candidates(
+    candidates: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF tail: exact quantized-cosine scoring of (corpus row ×
+    probing query) candidates + per-query top-k window."""
     qq = quantize(F.col("_qvec"))
     cq = quantize(F.col(vec_col))
     scored = candidates.withColumn(
@@ -462,6 +568,88 @@ def ivf_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    n_centroids: int,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST the IVF index: bucketed postings written
+    partitionBy('bucket') + the centroid table — build once, probe many
+    (the reference's BuildIndex/SearchIndex split, SPANNIndex.cpp:309-372).
+    Probes then read only their nprobe partitions (partition pruning)."""
+    centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
+    bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
+    bucketed.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{path}/postings")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: nprobe bucket ids per query via the
+    centroid kernel, then a PARTITION-PRUNED scan of exactly those
+    posting partitions (the driver-side bucket list is bounded by
+    n_centroids — tiny — and is the standard static-pruning idiom; the
+    corpus itself is never touched outside the probed buckets)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col)
+    buckets = sorted(
+        r["bucket"] for r in probes.select("bucket").distinct().collect()
+    )
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets)
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    candidates = (
+        postings.join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(qvec), "query_id")
+    )
+    return _score_candidates(candidates, k, id_col, vec_col)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-shot approximate top-k (build-in-memory + probe): probe only
+    the nprobe nearest buckets per query. For repeated probing use
+    ivf_build + ivf_probe — the persisted index is the scale path.
+
+    Deterministic end-to-end (md5 head selection, exact integer math), so
+    the DuckDB oracle replicates it exactly; recall@k vs brute force is
+    additionally gated in tests (reference harness TruthSet.h:242-285).
+    """
+    centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
+    bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
+    probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col)
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    candidates = (
+        bucketed.join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(qvec), "query_id")
+    )
+    return _score_candidates(candidates, k, id_col, vec_col)
 
 
 def multi_index_topk(

@@ -123,3 +123,47 @@ def test_sessionize_single_shuffle(events):
     df = sessionize(events.select("event_id", "user_id", "ts"),
                     keys=["user_id"], ts="ts", gap_seconds=1800)
     assert count_exchanges(df) <= 1
+
+
+def test_ivf_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The persisted-index probe must read ONLY the nprobe bucket
+    partitions (reference posting-selection J2): the postings scan shows
+    a PartitionFilters entry on bucket, and the fraction of files read
+    is bounded by the probed-bucket fraction."""
+    from sptag_spark.operators.knn import ivf_build, ivf_probe
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, n_centroids=16, path=path)
+    out = ivf_probe(spark, path, emb.filter("vec_id < 2"), k=5, nprobe=2)
+    import re
+
+    p = plan_of(out)
+    assert re.search(r"PartitionFilters: \[bucket#\d+ IN \(", p), p
+    assert out.count() > 0
+
+
+def test_assign_buckets_has_no_shuffle_and_no_window(spark):
+    """Bucket assignment is one Arrow-kernel scan: zero Exchange, zero
+    Window (the round-1 argmin window shuffled 32x the corpus)."""
+    from sptag_spark.operators.knn import assign_buckets, select_centroids
+    from tests.util import count_exchanges
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = select_centroids(emb, 8)
+    df = assign_buckets(emb, cent)
+    assert count_exchanges(df) == 0
+    assert "Window" not in plan_of(df)
+
+
+def test_filtered_knn_pushes_predicate_below_scoring_join(spark):
+    """Filtered ANN (reference SearchIndexWithFilter): the metadata
+    predicate must reach the corpus parquet scan as a pushed filter,
+    below the broadcast scoring join."""
+    from sptag_spark.operators.knn import filtered_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = filtered_topk(emb, emb.filter("vec_id < 2"), "label = 1", k=5)
+    p = plan_of(df)
+    assert "EqualTo(label,1)" in p  # pushed into the scan
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
