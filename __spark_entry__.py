@@ -514,16 +514,24 @@ FROM fp f JOIN c ON f.fp = c.fp
 
 
 def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # default max_df="auto": stop-shingles above the corpus-derived
+    # doc-frequency cap never enter the self-join (the 100-TB skew fix);
+    # the oracle applies the identical cap formula.
     from sptag_spark.operators.dedup import jaccard_pairs
 
     return jaccard_pairs(_documents(spark, sf_dir), threshold=0.5)
 
 
-_DEDUP_JACCARD_ORACLE = _SHINGLES_CTE + """,
+_MAX_DF_SQL = ("greatest(500, CAST(ceil(0.005 * "
+               "(SELECT count(*) FROM documents)) AS BIGINT))")
+
+_DEDUP_JACCARD_ORACLE = _SHINGLES_CTE + f""",
 e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sh1 FROM s),
+keep AS (SELECT sh1 FROM e GROUP BY sh1 HAVING count(*) <= {_MAX_DF_SQL}),
+e2 AS (SELECT e.doc_id, e.n_sh, e.sh1 FROM e JOIN keep USING (sh1)),
 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common,
              any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
-      FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+      FROM e2 a JOIN e2 b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
 SELECT id_a, id_b, n_a, n_b, n_common,
        CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
@@ -539,7 +547,9 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+def _minhash_band_ctes(num_hashes: int, bands: int) -> str:
+    """Shared CTE block: per-doc MinHash signatures + banded keys +
+    distinct candidate pairs (mirrors dedup.minhash_lsh_pairs)."""
     r = num_hashes // bands
     sig_cols = ",\n    ".join(
         f"list_min(list_transform(sh, x -> md5('{h}|' || x))) AS mh{h}"
@@ -551,15 +561,20 @@ def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:
         + ")) AS bkey FROM sig"
         for b in range(bands)
     )
-    return _SHINGLES_CTE + f""",
+    return f""",
 sig AS (SELECT doc_id,
     {sig_cols}
   FROM s),
-bands AS ({band_selects})
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+bands AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
 """
+
+
+def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:
+    return (_SHINGLES_CTE + _minhash_band_ctes(num_hashes, bands)
+            + "SELECT id_a, id_b FROM cand")
 
 
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -816,25 +831,33 @@ WHERE rn = 1
 def _q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's OUTPUT corpus: drop every doc that loses a
     near-dup pairing (appears as id_b, keep-first policy) — anti-join
-    (reference U2 exceptIDS, VectorIndex.cpp:1169-1172)."""
-    from sptag_spark.operators.dedup import jaccard_pairs
+    (reference U2 exceptIDS, VectorIndex.cpp:1169-1172).
+
+    Losers come from the SCALE path: MinHash-LSH candidates verified
+    with exact Jaccard (never the raw shingle self-join — a stop-shingle
+    in k docs would make a k² join group at 100 TB). Deterministic, so
+    the oracle replicates candidates + verification exactly."""
+    from sptag_spark.operators.dedup import jaccard_pairs_lsh
     from sptag_spark.operators.upsert import apply_deletes
 
     docs = _documents(spark, sf_dir)
-    losers = jaccard_pairs(docs, threshold=0.5) \
+    losers = jaccard_pairs_lsh(docs, threshold=0.5) \
         .select(F.col("id_b").alias("doc_id"))
     return apply_deletes(docs.select("doc_id", "lang", "source"),
                          losers, ["doc_id"])
 
 
-_DEDUP_APPLY_ORACLE = _SHINGLES_CTE + """,
-e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sh1 FROM s),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common,
-             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
-      FROM e a JOIN e b ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-losers AS (SELECT DISTINCT id_b FROM p
-           WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.5)
+def _dedup_apply_oracle(num_hashes: int = 12, bands: int = 4,
+                        threshold: float = 0.5) -> str:
+    return _SHINGLES_CTE + _minhash_band_ctes(num_hashes, bands) + f""",
+j AS (SELECT c.id_a, c.id_b,
+        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          AS jaccard
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.id_a
+      JOIN s sb ON sb.doc_id = c.id_b),
+losers AS (SELECT DISTINCT id_b FROM j WHERE jaccard >= {threshold})
 SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
 """
@@ -1022,7 +1045,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_knn_topk": _FILTERED_KNN_ORACLE,
         "lsh_near_dup": _LSH_NEAR_DUP_ORACLE,
         "current_state_upsert": _CURRENT_STATE_ORACLE,
-        "dedup_apply_anti": _DEDUP_APPLY_ORACLE,
+        "dedup_apply_anti": _dedup_apply_oracle(12, 4, 0.5),
         "rank_join_multi_index": _RANK_JOIN_ORACLE,
         "knn_graph": _KNN_GRAPH_ORACLE,
         "json_extract_agg": _JSON_EXTRACT_ORACLE,

@@ -25,6 +25,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -105,20 +107,42 @@ def _exploded_shingles(
     return sh
 
 
+# Stop-shingle cap defaults: a shingle shared by more than
+# max(FLOOR, FRAC * n_docs) documents is a stop phrase — it contributes
+# ~nothing to Jaccard on real pairs but makes a quadratic join group.
+MAX_DF_FLOOR = 500
+MAX_DF_FRAC = 0.005
+
+
+def auto_max_df(df: DataFrame) -> int:
+    """Corpus-derived doc-frequency cap: max(500, ceil(0.005 * n_docs)).
+    The count() is parquet-metadata-cheap; the formula is mirrored
+    verbatim in the SQL oracle so capped results stay hash-exact."""
+    return max(MAX_DF_FLOOR, math.ceil(MAX_DF_FRAC * df.count()))
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """All pairs (a < b) with shingle-Jaccard >= threshold.
 
     jaccard = |A∩B| / (|A| + |B| − |A∩B|) over DISTINCT n-word shingles.
     |A|,|B| are pre-filter set sizes so max_df only prunes candidate
     generation, not the denominator (mirrored in the oracle).
+
+    max_df defaults to the corpus-derived `auto_max_df` cap: without it a
+    stop-shingle appearing in k docs makes a k² join group — at 10^12
+    rows that is THE scale-killer (reference analog: the λ-penalty
+    stop-key pruning, BKTree.h:250-251). Pass None to disable (exact
+    textbook Jaccard, correctness baseline only).
     """
+    if max_df == "auto":
+        max_df = auto_max_df(df)
     sizes = df.select(
         F.col(id_col).alias("_id"),
         F.size(word_shingles(F.col(text_col), n)).alias("_n_sh"),
@@ -224,6 +248,54 @@ def minhash_lsh_pairs(
                & (F.col("a._id") < F.col("b._id")))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
+    )
+
+
+def jaccard_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash-LSH candidates → EXACT Jaccard verification — the scale
+    path for the apply-side of dedup (what you anti-join losers from).
+
+    Never joins on raw shingles: candidate pairs come from the banded
+    signature join (bounded by band-bucket collisions, not shingle doc
+    frequency), then each candidate's true Jaccard is computed from the
+    two docs' distinct-shingle arrays (array_intersect — one row per
+    candidate, no explode). Precision is exact; recall is the standard
+    1-(1-j^r)^b LSH curve. Deterministic end-to-end (md5 signatures), so
+    the DuckDB oracle replicates it exactly.
+
+    Output schema matches jaccard_pairs: (id_a, id_b, n_a, n_b,
+    n_common, jaccard).
+    """
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, n)
+    sh = _ensure_parallel(df).select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    )
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.size("_sh_a").alias("n_a"),
+            F.size("_sh_b").alias("n_b"),
+            F.size(F.array_intersect("_sh_a", "_sh_b")).alias("n_common"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

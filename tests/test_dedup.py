@@ -93,3 +93,29 @@ def test_sf001_documents_planted_dups(spark):
     for r in pairs:
         assert r["id_a"] < r["id_b"]
         assert r["jaccard"] >= 0.5
+
+
+def test_jaccard_lsh_verify_precision_and_recall(docs):
+    """Scale apply-path: LSH candidates + exact verify. Every emitted
+    pair must carry its TRUE Jaccard (subset of the exact operator's
+    output with identical values); on the planted near-identical dups
+    (jaccard ~1) the band-collision probability is ~1, so recall is
+    full here."""
+    from sptag_spark.operators.dedup import jaccard_pairs_lsh
+
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, threshold=0.5,
+                                    max_df=None).collect()}
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_pairs_lsh(docs, threshold=0.5).collect()}
+    assert set(got) == set(exact)          # full recall on this corpus
+    for k, v in got.items():
+        assert v == exact[k]               # values are the exact Jaccard
+
+
+def test_auto_max_df_formula(docs):
+    from sptag_spark.operators.dedup import auto_max_df
+
+    import math
+    n = docs.count()
+    assert auto_max_df(docs) == max(500, math.ceil(0.005 * n))
