@@ -154,6 +154,60 @@ FROM m
 """
 
 
+def _q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-proof as-of: 20% of users collapse onto one synthetic hot
+    key, and the salted strategy chunks that key's timeline across
+    reducers (reference replica/split, ExtraStaticSearcher.h:735-753).
+    The data side is deduped to one row per (key, ts) — with many users
+    merged, equal-timestamp clicks with different payloads would
+    otherwise make BOTH engines' as-of pick nondeterministically."""
+    from pyspark.sql import Window
+
+    from sptag_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 5 == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("user_id")),
+    )
+    probe = ev.filter("event_type='purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter("event_type='click'").select(
+        "user_id", "ts",
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("click_event_id").desc()
+    )
+    clicks = clicks.withColumn("_rn", F.row_number().over(w)) \
+        .filter("_rn = 1").drop("_rn")
+    return asof_join(
+        probe, clicks, on="user_id", probe_ts="ts", data_ts="ts",
+        strategy="salted", target_rows_per_key=200, n_chunks=8,
+    )
+
+
+_ASOF_SALTED_ORACLE = """
+WITH ev AS (
+  SELECT event_id,
+         CASE WHEN user_id % 5 = 0 THEN 0 ELSE user_id END AS user_id,
+         ts, value, event_type
+  FROM events),
+p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type='purchase'),
+c0 AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type='click'),
+c AS (SELECT event_id, user_id, ts, value FROM (
+    SELECT c0.*, row_number() OVER (PARTITION BY user_id, ts
+                                    ORDER BY event_id DESC) AS rn
+    FROM c0)
+  WHERE rn = 1)
+SELECT p.event_id, p.user_id, p.ts, c.ts AS matched_ts,
+       c.value AS click_value, c.event_id AS click_event_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def _q_corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return (
@@ -985,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_merge": _q_asof("merge"),
         "asof_join_strict": _q_asof_strict,
         "asof_join_tolerance_1h": _q_asof_tolerance,
+        "asof_join_salted": _q_asof_salted,
         "lag_lead": _q_lag_lead,
         "rolling_rows": _q_rolling_rows,
         "rolling_range_1h": _q_rolling_range,
@@ -1023,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_merge": _ASOF_ORACLE,
         "asof_join_strict": _ASOF_STRICT_ORACLE,
         "asof_join_tolerance_1h": _ASOF_TOL_ORACLE,
+        "asof_join_salted": _ASOF_SALTED_ORACLE,
         "lag_lead": _LAG_LEAD_ORACLE,
         "rolling_rows": _ROLLING_ROWS_ORACLE,
         "rolling_range_1h": _ROLLING_RANGE_ORACLE,

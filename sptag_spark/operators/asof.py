@@ -54,6 +54,8 @@ from pyspark.sql.types import (
 _PROBE_TAG = "__asof_is_probe"
 _TS = "__asof_ts"
 _PAY = "__asof_payload"
+_CHUNK = "__asof_chunk"
+_BNDS = "__asof_bounds"
 
 
 def asof_join(
@@ -66,6 +68,8 @@ def asof_join(
     strict: bool = False,
     strategy: str = "union",
     tolerance_seconds: float | None = None,
+    target_rows_per_key: int = 1_000_000,
+    n_chunks: int = 32,
 ) -> DataFrame:
     """As-of join ``probe`` against ``data``.
 
@@ -106,6 +110,13 @@ def asof_join(
         if tolerance_seconds is not None:
             raise ValueError("tolerance requires strategy='broadcast' or 'merge'")
         return _asof_union(probe, data, keys, probe_ts, data_ts, payload, strict)
+    if strategy == "salted":
+        if tolerance_seconds is not None:
+            raise ValueError("tolerance requires strategy='broadcast' or 'merge'")
+        return _asof_union_salted(
+            probe, data, keys, probe_ts, data_ts, payload, strict,
+            target_rows_per_key=target_rows_per_key, n_chunks=n_chunks,
+        )
     if strategy == "broadcast":
         return _asof_broadcast(
             probe, data, keys, probe_ts, data_ts, payload, strict, tolerance_seconds
@@ -117,23 +128,25 @@ def asof_join(
     raise ValueError(f"unknown asof strategy: {strategy}")
 
 
-def _asof_union(
+def _pay_struct(data: DataFrame, data_ts: str, payload: list[str]):
+    ps = F.struct(
+        F.col(data_ts).alias("matched_ts"), *[F.col(c).alias(c) for c in payload]
+    )
+    return ps, data.select(ps.alias(_PAY)).schema[_PAY].dataType
+
+
+def _tagged_union(
     probe: DataFrame,
     data: DataFrame,
     keys: list[str],
     probe_ts: str,
     data_ts: str,
     payload: list[str],
-    strict: bool,
 ) -> DataFrame:
+    """probe ∪ data with a probe tag, a common ts column, and the data
+    payload packed into one struct (null on probe rows)."""
     probe_cols = list(probe.columns)
-    pay_struct = F.struct(
-        F.col(data_ts).alias("matched_ts"), *[F.col(c).alias(c) for c in payload]
-    )
-    pay_type = (
-        data.select(pay_struct.alias(_PAY)).schema[_PAY].dataType
-    )
-
+    pay_struct, pay_type = _pay_struct(data, data_ts, payload)
     p = probe.select(
         *probe_cols,
         F.lit(None).cast(pay_type).alias(_PAY),
@@ -151,14 +164,38 @@ def _asof_union(
         F.col(data_ts).alias(_TS),
         F.lit(0).alias(_PROBE_TAG),
     ).select(*p.columns)
+    return p.unionByName(d)
 
-    unioned = p.unionByName(d)
+
+def _tag_order(strict: bool) -> Column:
     # strict: a probe at ts must NOT see a data row at the same ts -> probe
     # sorts before data on ties; inclusive: data first so last() sees it.
-    tag_order = F.col(_PROBE_TAG).desc() if strict else F.col(_PROBE_TAG).asc()
+    return F.col(_PROBE_TAG).desc() if strict else F.col(_PROBE_TAG).asc()
+
+
+def _unpack_pay(filled: DataFrame, probe_cols: list[str],
+                payload: list[str]) -> DataFrame:
+    return filled.filter(F.col(_PROBE_TAG) == 1).select(
+        *probe_cols,
+        F.col(f"{_PAY}.matched_ts").alias("matched_ts"),
+        *[F.col(f"{_PAY}.{c}").alias(c) for c in payload],
+    )
+
+
+def _asof_union(
+    probe: DataFrame,
+    data: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    data_ts: str,
+    payload: list[str],
+    strict: bool,
+) -> DataFrame:
+    probe_cols = list(probe.columns)
+    unioned = _tagged_union(probe, data, keys, probe_ts, data_ts, payload)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(_TS).asc(), tag_order)
+        .orderBy(F.col(_TS).asc(), _tag_order(strict))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -166,11 +203,149 @@ def _asof_union(
         F.col(_PROBE_TAG),
         F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
     )
-    return filled.filter(F.col(_PROBE_TAG) == 1).select(
-        *probe_cols,
-        F.col(f"{_PAY}.matched_ts").alias("matched_ts"),
-        *[F.col(f"{_PAY}.{c}").alias(c) for c in payload],
+    return _unpack_pay(filled, probe_cols, payload)
+
+
+def _ts_ordinal(col: Column, dtype) -> Column:
+    """A numeric, order-preserving image of the ts column (for quantile
+    boundaries and chunk assignment)."""
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp"))
+    return col.cast("double")
+
+
+def _hot_bounds(unioned: DataFrame, keys: list[str], ord_col: Column,
+                target_rows_per_key: int, n_chunks: int):
+    """One cheap agg: per-key row counts + approximate ts-quantile chunk
+    boundaries; keeps only keys whose count exceeds the target. Returns
+    (rows, schema) — the hot set is tiny (heavy hitters only)."""
+    fracs = [i / n_chunks for i in range(1, n_chunks)]
+    stats = (
+        unioned.select(*keys, ord_col.alias("_o"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.percentile_approx("_o", fracs, 10_000).alias(_BNDS),
+        )
+        .filter(F.col("_n") > target_rows_per_key)
+        .select(*keys, _BNDS)
     )
+    return stats.collect(), stats.schema
+
+
+def _chunk_expr(ord_col: Column) -> Column:
+    """chunk id = #(boundaries < ts): monotone in ts and a pure function
+    of ts, so equal timestamps never straddle a chunk boundary."""
+    return F.when(F.col(_BNDS).isNull(), F.lit(0)).otherwise(
+        F.aggregate(
+            F.col(_BNDS),
+            F.lit(0),
+            lambda acc, b: acc + F.when(ord_col > b, 1).otherwise(0),
+        )
+    ).cast("int")
+
+
+def _asof_union_salted(
+    probe: DataFrame,
+    data: DataFrame,
+    keys: list[str],
+    probe_ts: str,
+    data_ts: str,
+    payload: list[str],
+    strict: bool,
+    target_rows_per_key: int = 1_000_000,
+    n_chunks: int = 32,
+) -> DataFrame:
+    """The union strategy with a hot-key story (reference replica/split
+    idea: ExtraStaticSearcher.h:735-753, ExtraDynamicSearcher.h:637-894).
+
+    The plain union plan hashes ONLY on the join keys: one doc_id with
+    10^9 versions pins one reducer, and AQE's skew split does not apply
+    to Window exchanges. Here a cheap stats pass finds keys whose
+    combined probe+data row count exceeds target_rows_per_key and learns
+    ~n_chunks approximate ts-quantile boundaries per hot key; every row
+    then carries a chunk id = #(boundaries < ts), and the running-last
+    window partitions on (keys..., chunk) — the hot key's timeline fans
+    out over n_chunks reducers.
+
+    Cross-chunk correctness: a probe whose chunk holds no earlier data
+    row takes its match from the carry frame — per (hot key, chunk) the
+    LAST data payload, rolled forward per key across chunks (a window
+    over |hot|×n_chunks rows, driver-negligible), broadcast back and
+    coalesced. Chunk ids are a pure function of ts, so equal timestamps
+    never straddle a boundary and the strict/inclusive tie discipline
+    stays entirely inside pass 1; carried payloads are always strictly
+    older than the probe's chunk. Boundary quality affects only LOAD
+    BALANCE, never results.
+
+    Cold keys flow through the same plan with chunk 0 (the hot-key map
+    is a broadcast join, no per-row when-chain).
+    """
+    if n_chunks < 2:
+        raise ValueError("salted asof needs n_chunks >= 2")
+    probe_cols = list(probe.columns)
+    spark = probe.sparkSession
+    unioned = _tagged_union(probe, data, keys, probe_ts, data_ts, payload)
+    ord_u = _ts_ordinal(F.col(_TS), probe.schema[probe_ts].dataType)
+
+    # stats pass: heavy hitters + their ts-quantile chunk boundaries.
+    hot_rows, hot_schema = _hot_bounds(
+        unioned, keys, ord_u, target_rows_per_key, n_chunks
+    )
+    if not hot_rows:
+        return _asof_union(probe, data, keys, probe_ts, data_ts, payload,
+                           strict)
+    hot = spark.createDataFrame(hot_rows, schema=hot_schema)
+    chunk_of = _chunk_expr
+
+    u = unioned.join(F.broadcast(hot), keys, "left") \
+        .withColumn(_CHUNK, chunk_of(ord_u)).drop(_BNDS)
+
+    # pass 1: running last WITHIN (key, chunk) — the big (and only big)
+    # shuffle, now fanned out across chunks for hot keys.
+    w = (
+        Window.partitionBy(*keys, _CHUNK)
+        .orderBy(F.col(_TS).asc(), _tag_order(strict))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        *probe_cols,
+        F.col(_PROBE_TAG),
+        F.col(_CHUNK),
+        F.last(_PAY, ignorenulls=True).over(w).alias(_PAY),
+    )
+
+    # carry frame: last data payload per (hot key, chunk), rolled forward
+    # so chunk c sees the newest payload of chunks < c. Tiny by
+    # construction (|hot| × n_chunks rows).
+    pay_struct, _ = _pay_struct(data, data_ts, payload)
+    ord_d = _ts_ordinal(F.col(data_ts), data.schema[data_ts].dataType)
+    d_hot = data.join(F.broadcast(hot), keys) \
+        .withColumn(_CHUNK, chunk_of(ord_d))
+    per_chunk = d_hot.groupBy(*keys, _CHUNK).agg(
+        F.max_by(pay_struct, F.col(data_ts)).alias("_cp")
+    )
+    grid = hot.select(
+        *keys, F.explode(
+            F.sequence(F.lit(0), F.size(_BNDS))
+        ).alias(_CHUNK)
+    )
+    cw = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_CHUNK).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        grid.join(per_chunk, [*keys, _CHUNK], "left")
+        .withColumn("_carry", F.last("_cp", ignorenulls=True).over(cw))
+        .select(*keys, _CHUNK, "_carry")
+    )
+
+    out = (
+        filled.join(F.broadcast(carry), [*keys, _CHUNK], "left")
+        .withColumn(_PAY, F.coalesce(F.col(_PAY), F.col("_carry")))
+    )
+    return _unpack_pay(out, probe_cols, payload)
 
 
 def _ts_cond(probe_ts_col: Column, data_ts_col: Column, strict: bool) -> Column:

@@ -159,3 +159,71 @@ def test_merge_numeric_epoch_timestamps(spark):
     out2 = asof_join(probe, empty, on="k", probe_ts="ts", data_ts="ts",
                      payload=["v"], strategy="merge").collect()
     assert len(out2) == 2 and all(r["v"] is None for r in out2)
+
+
+def _hot_key_frames(spark):
+    """sf0.001 events with 20% of users collapsed onto one hot key, data
+    side deduped per (key, ts) so tie-breaks can't differ by strategy."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("user_id",
+                    F.when(F.col("user_id") % 5 == 0, F.lit(0).cast("bigint"))
+                    .otherwise(F.col("user_id")))
+    probe = ev.filter("event_type='purchase'").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter("event_type='click'").select(
+        "user_id", "ts", F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_event_id"))
+    w = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("click_event_id").desc())
+    clicks = clicks.withColumn("_rn", F.row_number().over(w)) \
+        .filter("_rn = 1").drop("_rn")
+    return probe, clicks
+
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_salted_equals_union_on_hot_keys(spark, strict):
+    """The salted strategy must be result-identical to the plain union
+    plan — chunking + carry-forward is a physical rewrite only."""
+    probe, clicks = _hot_key_frames(spark)
+    kw = dict(on="user_id", probe_ts="ts", data_ts="ts", strict=strict)
+    base = asof_join(probe, clicks, **kw).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    salt = asof_join(probe, clicks, strategy="salted",
+                     target_rows_per_key=50, n_chunks=8, **kw).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert base.equals(salt)
+
+
+def test_salted_no_hot_keys_falls_back(spark):
+    """With the production target nothing at sf0.001 is hot; the salted
+    path must degrade to the plain single-shuffle union plan."""
+    probe, clicks = _probe_data(spark)
+    out = asof_join(probe, clicks, on="user_id", probe_ts="ts",
+                    data_ts="ts", strategy="salted")
+    from tests.util import count_exchanges
+    assert count_exchanges(out) <= 1
+    assert "__asof_chunk" not in out.schema.simpleString()
+
+
+def test_salted_carry_across_empty_chunks(spark):
+    """A probe in a chunk with NO data rows must inherit the newest
+    payload from earlier chunks (the carry frame), including across
+    several empty chunks."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    # hot key 0: one early data row, probes spread over a long timeline
+    probes = [(i, 0, t0 + dt.timedelta(hours=i)) for i in range(300)]
+    data = [(0, t0 - dt.timedelta(seconds=1), 42.0),
+            (0, t0 + dt.timedelta(hours=150), 43.0)]
+    probe = spark.createDataFrame(probes, ["event_id", "k", "ts"])
+    d = spark.createDataFrame(data, ["k", "ts", "v"])
+    out = asof_join(probe, d, on="k", probe_ts="ts", data_ts="ts",
+                    payload=["v"], strategy="salted",
+                    target_rows_per_key=50, n_chunks=8).collect()
+    assert len(out) == 300
+    for r in out:
+        want = 43.0 if r["ts"] >= t0 + dt.timedelta(hours=150) else 42.0
+        assert r["v"] == want, (r["event_id"], r["v"])

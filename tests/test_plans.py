@@ -167,3 +167,47 @@ def test_filtered_knn_pushes_predicate_below_scoring_join(spark):
     p = plan_of(df)
     assert "EqualTo(label,1)" in p  # pushed into the scan
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_salted_asof_fans_hot_key_across_chunks(spark, events):
+    """VERDICT r1 #1: no single post-shuffle partition may hold the whole
+    hot key. The big window Exchange must hash on (key, chunk), and the
+    hot key's rows must actually spread over several chunks."""
+    import re
+
+    from sptag_spark.operators.asof import (
+        _chunk_expr, _hot_bounds, _tagged_union, _ts_ordinal, _TS,
+        asof_join,
+    )
+
+    ev = events.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 5 == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.col("user_id")))
+    probe = ev.filter("event_type='purchase'").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter("event_type='click'").select(
+        "user_id", "ts", F.col("value").alias("click_value"))
+    out = asof_join(probe, clicks, on="user_id", probe_ts="ts",
+                    data_ts="ts", strategy="salted",
+                    target_rows_per_key=50, n_chunks=8)
+    p = plan_of(out)
+    assert re.search(r"hashpartitioning\([^)]*__asof_chunk", p), \
+        "window exchange must include the chunk column"
+
+    # runtime fan-out: the hot key's rows span several chunks and no
+    # chunk owns a majority
+    u = _tagged_union(probe, clicks, ["user_id"], "ts", "ts",
+                      ["click_value"])
+    ordc = _ts_ordinal(F.col(_TS), probe.schema["ts"].dataType)
+    rows, schema = _hot_bounds(u, ["user_id"], ordc, 50, 8)
+    assert any(r["user_id"] == 0 for r in rows), "hot key not detected"
+    hot = spark.createDataFrame(rows, schema)
+    per_chunk = (
+        u.join(F.broadcast(hot), "user_id")
+        .withColumn("c", _chunk_expr(ordc))
+        .filter("user_id = 0").groupBy("c")
+        .count().collect())
+    counts = [r["count"] for r in per_chunk]
+    assert len(counts) >= 4, counts
+    assert max(counts) <= 0.6 * sum(counts), counts
