@@ -100,6 +100,144 @@ def pq_reconstruct(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# OPQ: learned rotation before PQ (the reference's quality tier)
+# ---------------------------------------------------------------------------
+
+def _np_kmeans(X: np.ndarray, k: int, iters: int = 20) -> np.ndarray:
+    """Deterministic driver-side Lloyd (init = first k sample rows, which
+    arrive hash-ordered from the deterministic sample)."""
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        for j in range(k):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    return C
+
+
+def _np_encode_reconstruct(Xr: np.ndarray, books: list[np.ndarray],
+                           dsub: int) -> np.ndarray:
+    parts = []
+    for s, B in enumerate(books):
+        sl = Xr[:, s * dsub:(s + 1) * dsub]
+        codes = ((sl[:, None, :] - B[None, :, :]) ** 2).sum(-1).argmin(1)
+        parts.append(B[codes])
+    return np.concatenate(parts, axis=1)
+
+
+def opq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    opq_iters: int = 10,
+    kmeans_iters: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ-NP training (reference OPQQuantizer.h:1-210, trainer
+    Tools/OPQ/OPQ_gpu_train_infer.py, Training.h:62-150): alternate
+    (fit PQ codebooks on rotated sample) with (orthogonal Procrustes
+    update R = UVᵀ from SVD(XᵀY)) on a deterministic hash-ordered sample
+    collected to the driver — the rotation is dim×dim (tiny); the corpus
+    never leaves executors. opq_iters=0 degrades to plain PQ (R = I)
+    with the same trainer, which is the controlled baseline tests use.
+
+    Returns (R, codebooks) with R (dim, dim) and codebooks (m, k, dim/m);
+    encode/score with opq_encode / opq_adc_topk.
+    """
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r[vec_col]] for r in rows])
+    dim = X.shape[1]
+    assert dim % m == 0, "dim must divide into m subspaces"
+    dsub = dim // m
+    R = np.eye(dim)
+    for _ in range(opq_iters):
+        Xr = X @ R
+        books = [
+            _np_kmeans(Xr[:, s * dsub:(s + 1) * dsub], k, kmeans_iters)
+            for s in range(m)
+        ]
+        Y = _np_encode_reconstruct(Xr, books, dsub)
+        U, _, Vt = np.linalg.svd(X.T @ Y)
+        R = U @ Vt
+    Xr = X @ R
+    books = [
+        _np_kmeans(Xr[:, s * dsub:(s + 1) * dsub], k, kmeans_iters)
+        for s in range(m)
+    ]
+    return R, np.stack(books)
+
+
+def opq_rotate(
+    df: DataFrame,
+    R: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) -> (id, vec @ R): one float64 matmul per Arrow batch
+    (dim×dim rotation rides in the closure — no join, no shuffle)."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField(vec_col, ArrayType(DoubleType())),
+    ])
+    sel = df.select(id_col, vec_col)
+
+    def run(batches):
+        for batch in batches:
+            col = batch.column(vec_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            X = np.array(col.to_pylist(), dtype=np.float64)
+            rot = X @ R if len(X) else X.reshape(0, R.shape[1])
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col),
+                 pa.array(list(rot), pa.list_(pa.float64()))],
+                names=[id_col, vec_col],
+            )
+
+    return sel.mapInArrow(run, schema=out_schema)
+
+
+def opq_encode(
+    df: DataFrame,
+    R: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rotate (Arrow matmul) then PQ-encode (codegen argmin scan)."""
+    return pq_encode(opq_rotate(df, R, id_col, vec_col), codebooks,
+                     id_col, vec_col)
+
+
+def opq_adc_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    R: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k in the rotated space: rotations are orthogonal, so
+    ||q - x|| == ||qR - xR|| and the query rotates on the driver."""
+    q = np.asarray(query_vec, dtype=np.float64) @ R
+    return pq_adc_topk(encoded, codebooks, list(q), k, id_col)
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebooks: np.ndarray,

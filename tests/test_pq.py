@@ -99,3 +99,69 @@ def test_adc_recall_gate(emb, trained):
     # PQ (no cluster structure). Gate = 10x better than the 2% chance
     # floor, mirroring the reference's threshold-style recall assertions.
     assert recall >= 0.2, f"ADC recall@10 = {recall}"
+
+def _anisotropic_fixture(spark, n=384, dim=8, seed=7):
+    """Anisotropic data whose principal axes straddle PQ's subspace
+    boundaries: z ~ N(0, diag(scales)) mixed by a fixed orthogonal Q.
+    Axis-aligned PQ wastes bits on the mixture; OPQ should recover ~Qᵀ."""
+    rng = np.random.default_rng(seed)
+    scales = np.array([8.0, 6.0, 4.0, 3.0, 0.5, 0.3, 0.2, 0.1])
+    Q, _ = np.linalg.qr(rng.normal(size=(dim, dim)))
+    X = (rng.normal(size=(n, dim)) * scales) @ Q
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    return df, X
+
+
+def _adc_recall(spark, df, X, R, books, n_queries=8, k=10):
+    from sptag_spark.operators.pq import opq_adc_topk, opq_encode
+
+    codes = opq_encode(df, R, books).cache()
+    hits = total = 0
+    for qi in range(n_queries):
+        q = X[qi]
+        d = ((X - q) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        exact = set(int(i) for i in np.argsort(d)[:k])
+        approx = opq_adc_topk(
+            codes.filter(F.col("vec_id") != int(qi)), books, R,
+            [float(x) for x in q], k=k,
+        ).collect()
+        hits += sum(r["vec_id"] in exact for r in approx)
+        total += k
+    codes.unpersist()
+    return hits / total
+
+
+def test_opq_rotation_beats_plain_pq_on_anisotropic_data(spark):
+    """Reference Q10 quality tier (OPQQuantizer.h:1-210): on data whose
+    correlated axes straddle subspace boundaries, the learned rotation
+    must not lose to the identity rotation (same trainer, same budget) —
+    and the rotation must be orthogonal."""
+    from sptag_spark.operators.pq import opq_train
+
+    df, X = _anisotropic_fixture(spark)
+    R_pq, books_pq = opq_train(df, m=4, k=16, opq_iters=0,
+                               sample_size=384)
+    R_opq, books_opq = opq_train(df, m=4, k=16, opq_iters=8,
+                                 sample_size=384)
+    assert np.allclose(R_pq, np.eye(8))
+    assert np.allclose(R_opq @ R_opq.T, np.eye(8), atol=1e-9)
+    r_pq = _adc_recall(spark, df, X, R_pq, books_pq)
+    r_opq = _adc_recall(spark, df, X, R_opq, books_opq)
+    assert r_opq >= r_pq, f"OPQ recall {r_opq} < PQ recall {r_pq}"
+    assert r_opq >= 0.5, f"OPQ recall too low: {r_opq}"
+
+
+def test_opq_rotate_matches_numpy(spark):
+    from sptag_spark.operators.pq import opq_rotate, opq_train
+
+    df, X = _anisotropic_fixture(spark, n=64)
+    R, _ = opq_train(df, m=4, k=8, opq_iters=2, sample_size=64)
+    got = {r["vec_id"]: np.array(r["embedding"])
+           for r in opq_rotate(df, R).collect()}
+    want = X @ R
+    for i in range(64):
+        assert np.allclose(got[i], want[i], atol=1e-12)
