@@ -1,0 +1,73 @@
+"""Two-level (BKT-shaped) centroid hierarchy: assignment validity,
+determinism, and the VERDICT r1 #6 gate — >= 1024 heads at sf0.1 with
+bounded build time and a real recall floor (reference BKTree.h:524-865;
+recall harness shape TruthSet.h:242-285)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sptag_spark.operators.bkt import (
+    hierarchical_assign,
+    hierarchical_heads_fit,
+    ivf_build_hierarchical,
+    ivf_probe_hierarchical,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_small(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .cache()
+    yield df
+    df.unpersist()
+
+
+def test_fit_shapes_and_assignment_range(emb_small):
+    coarse, fine = hierarchical_heads_fit(
+        emb_small, k1=4, k2=4, coarse_iters=3, cell_iters=5)
+    dim = len(emb_small.first()["embedding"])
+    assert coarse.shape == (4, dim) and fine.shape == (4, 4, dim)
+    rows = hierarchical_assign(emb_small, coarse, fine).collect()
+    assert len(rows) == emb_small.count()
+    for r in rows:
+        assert 0 <= r["bucket"] < 16
+    # descent must respect the coarse tier: bucket//k2 is the argmax cell
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    from sptag_spark.operators.bkt import _cos_scores
+    cells = _cos_scores(X, coarse).argmax(axis=1)
+    assert all(r["bucket"] // 4 == c for r, c in zip(rows, cells))
+
+
+def test_assignment_is_deterministic(emb_small):
+    coarse, fine = hierarchical_heads_fit(
+        emb_small, k1=4, k2=4, coarse_iters=3, cell_iters=5)
+    a = sorted((r["vec_id"], r["bucket"])
+               for r in hierarchical_assign(emb_small, coarse, fine).collect())
+    b = sorted((r["vec_id"], r["bucket"])
+               for r in hierarchical_assign(emb_small, coarse, fine).collect())
+    assert a == b
+
+
+def test_1024_heads_recall_gate_sf01(spark, tmp_path):
+    """>= 1024 heads over the sf0.1 corpus, built in bounded time; the
+    pruned probe must clearly beat its candidate-fraction random floor."""
+    import time
+
+    from sptag_spark.operators.knn import brute_force_topk, recall_at_k
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    path = str(tmp_path / "bkt")
+    t0 = time.time()
+    ivf_build_hierarchical(emb, path, k1=32, k2=32)
+    build_sec = time.time() - t0
+    assert build_sec < 300, f"build took {build_sec:.0f}s"
+    q = emb.filter("vec_id < 8")
+    approx = ivf_probe_hierarchical(spark, path, q, k=10, nprobe=32,
+                                    coarse_probe=8)
+    exact = brute_force_topk(emb, q, k=10)
+    r = recall_at_k(approx, exact)
+    # 32 of 1024 buckets probed (~3% of the corpus scanned): random
+    # floor ~0.03; gate an order of magnitude above it.
+    assert r >= 0.3, f"recall@10 = {r}"
