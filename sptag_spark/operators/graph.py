@@ -137,6 +137,65 @@ def build_knn_graph(
     )
 
 
+def rebalance_indegree(
+    candidates: DataFrame,
+    k: int,
+    max_indegree: int | None = None,
+) -> DataFrame:
+    """Indegree-aware edge selection (reference A11: NeighborhoodGraph.h
+    :486-594 counts fan-in and rewrites out-edges toward low-indegree
+    targets so no node hubs the graph).
+
+    `candidates` is a WIDER candidate list than the final degree — e.g.
+    build_knn_graph(k=2k) — with (src, dst, cosine, rank). One stats
+    pass measures each dst's indegree over the top-k prefix (what the
+    naive graph would produce); each src then re-selects its k out-edges
+    preferring, in rank order, candidates whose naive fan-in is within
+    max_indegree (default 2x the average = 2k), topping up with the
+    remaining best-ranked candidates when too few targets are cold.
+    Quality is bounded: every chosen edge still comes from the src's own
+    candidate list in rank order.
+
+    Distributed shape: indegree = one agg over the top-k prefix; the
+    re-selection is a per-src grouped numpy pass (applyInPandas).
+    Returns (src, dst, cosine, rank) with rank 1..k per src.
+    """
+    if max_indegree is None:
+        max_indegree = 2 * k
+    naive = candidates.filter(F.col("rank") <= k)
+    indeg = naive.groupBy("dst").agg(F.count(F.lit(1)).alias("_indeg"))
+    enriched = candidates.join(indeg, "dst", "left").fillna(
+        {"_indeg": 0}
+    )
+
+    out_schema = StructType([
+        StructField("src", candidates.schema["src"].dataType),
+        StructField("dst", candidates.schema["dst"].dataType),
+        StructField("cosine", DoubleType()),
+        StructField("rank", LongType()),
+    ])
+    cap = int(max_indegree)
+
+    def reselect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rank", "dst"], kind="mergesort")
+        cold = pdf[pdf["_indeg"] <= cap]
+        chosen = cold.head(k)
+        if len(chosen) < k:
+            rest = pdf[~pdf.index.isin(chosen.index)]
+            chosen = pd.concat([chosen, rest.head(k - len(chosen))])
+        chosen = chosen.sort_values(["cosine", "dst"],
+                                    ascending=[False, True],
+                                    kind="mergesort")
+        return pd.DataFrame({
+            "src": chosen["src"].to_numpy(),
+            "dst": chosen["dst"].to_numpy(),
+            "cosine": chosen["cosine"].to_numpy(),
+            "rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+        })
+
+    return enriched.groupBy("src").applyInPandas(reselect, schema=out_schema)
+
+
 def rng_prune(
     graph: DataFrame,
     df: DataFrame,

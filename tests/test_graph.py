@@ -102,3 +102,54 @@ def test_no_self_edges_when_candidates_scarce(spark):
     # every row still gets its N-1 real neighbors
     from collections import Counter
     assert Counter(r["src"] for r in g) == {0: 2, 1: 2, 2: 2}
+
+
+def test_rebalance_indegree_caps_hubs(spark):
+    """Hub geometry: one vector near every query direction becomes
+    everyone's top-1; rebalancing must shrink its fan-in while keeping k
+    out-edges per src drawn from each src's own candidate list."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.graph import rebalance_indegree
+
+    rng = np.random.default_rng(3)
+    n, dim, k = 60, 8, 3
+    base = rng.normal(size=dim)
+    X = base[None, :] + 0.5 * rng.normal(size=(n, dim))
+    X[0] = base * 5  # the hub: everyone's nearest direction
+    rows = [(i, [float(x) for x in X[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cand = build_knn_graph(df, k=2 * k, n_blocks=4).cache()
+    naive = cand.filter(F.col("rank") <= k)
+    naive_indeg = {r["dst"]: r["n"] for r in naive.groupBy("dst")
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = rebalance_indegree(cand, k=k, max_indegree=k)
+    got = out.collect()
+    new_indeg = {}
+    by_src = {}
+    for r in got:
+        new_indeg[r["dst"]] = new_indeg.get(r["dst"], 0) + 1
+        by_src.setdefault(r["src"], []).append(r["dst"])
+    # every src keeps k edges, all from its candidate list
+    cand_by_src = {}
+    for r in cand.collect():
+        cand_by_src.setdefault(r["src"], set()).add(r["dst"])
+    for src, dsts in by_src.items():
+        assert len(dsts) == k
+        assert set(dsts) <= cand_by_src[src]
+    # the hub really was a hub and its fan-in at least halves; a one-pass
+    # stats rewrite can't promise per-node caps (quality-bounded top-ups
+    # may re-pick warm nodes), but the indegree DISPERSION must shrink —
+    # that is the operator's contract (reference NeighborhoodGraph.h:486).
+    hub = max(naive_indeg, key=naive_indeg.get)
+    assert naive_indeg[hub] > 3 * k
+    assert new_indeg.get(hub, 0) <= naive_indeg[hub] // 2
+
+    def dispersion(indeg):
+        vals = [indeg.get(i, 0) for i in range(n)]
+        mean = sum(vals) / n
+        return sum((v - mean) ** 2 for v in vals) / n
+
+    assert dispersion(new_indeg) < dispersion(naive_indeg)
+    cand.unpersist()
