@@ -47,13 +47,26 @@ def main() -> int:
                       shuffle_partitions=2 * int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM (codegen, shuffle, window, Python worker pool) with a
-    # throwaway query so the first timed query doesn't absorb JIT costs.
+    # Warm the JVM (codegen, shuffle, window) AND the Python/Arrow worker
+    # pool with throwaway queries so the first timed query doesn't absorb
+    # JIT + worker-fork costs (both are per-session, not per-query).
     from pyspark.sql import Window, functions as F
     warm = spark.range(100_000).withColumn(
         "r", F.row_number().over(Window.partitionBy(F.col("id") % 8)
                                  .orderBy("id")))
     materialize(warm)
+
+    def _identity(batches):
+        yield from batches
+    materialize(
+        spark.range(10_000).repartition(int(cpus))
+        .mapInArrow(_identity, schema="id long")
+    )
+    import pandas as pd  # noqa: F401
+    materialize(
+        spark.range(4_000).withColumn("g", F.col("id") % 16)
+        .groupBy("g").applyInPandas(lambda p: p, schema="id long, g long")
+    )
 
     timings: dict[str, float] = {}
     for name, fn in ent.queries().items():

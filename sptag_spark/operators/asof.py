@@ -216,20 +216,33 @@ def _ts_ordinal(col: Column, dtype) -> Column:
 
 def _hot_bounds(unioned: DataFrame, keys: list[str], ord_col: Column,
                 target_rows_per_key: int, n_chunks: int):
-    """One cheap agg: per-key row counts + approximate ts-quantile chunk
-    boundaries; keeps only keys whose count exceeds the target. Returns
-    (rows, schema) — the hot set is tiny (heavy hitters only)."""
+    """Two cheap passes: (1) per-key counts — a map-side-combinable agg —
+    to find heavy hitters; (2) approximate ts-quantile chunk boundaries
+    computed ONLY over the hot keys' rows (percentile sketches per key
+    are the expensive part; building them for every cold key would cost
+    more than the skew it prevents). Returns (rows, schema) — the hot
+    set is tiny (heavy hitters only)."""
+    proj = unioned.select(*keys, ord_col.alias("_o"))
+    hot_keys = (
+        proj.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > target_rows_per_key)
+        .select(*keys)
+    )
+    hot_key_rows = hot_keys.collect()
     fracs = [i / n_chunks for i in range(1, n_chunks)]
     stats = (
-        unioned.select(*keys, ord_col.alias("_o"))
+        proj.join(F.broadcast(
+            proj.sparkSession.createDataFrame(hot_key_rows,
+                                              schema=hot_keys.schema)
+            if hot_key_rows else hot_keys
+        ), keys, "left_semi")
         .groupBy(*keys)
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.percentile_approx("_o", fracs, 10_000).alias(_BNDS),
-        )
-        .filter(F.col("_n") > target_rows_per_key)
+        .agg(F.percentile_approx("_o", fracs, 10_000).alias(_BNDS))
         .select(*keys, _BNDS)
     )
+    if not hot_key_rows:
+        return [], stats.schema
     return stats.collect(), stats.schema
 
 

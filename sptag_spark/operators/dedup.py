@@ -143,28 +143,25 @@ def jaccard_pairs(
     """
     if max_df == "auto":
         max_df = auto_max_df(df)
-    sizes = df.select(
-        F.col(id_col).alias("_id"),
-        F.size(word_shingles(F.col(text_col), n)).alias("_n_sh"),
-    )
     # Self-join on a 64-bit surrogate of the shingle (longs sort/compare
     # ~20% faster than the strings); the exact string equality stays as a
     # post-join check, so a hash collision can never create a false pair.
+    # The PRE-cap set sizes (_n_sh) ride through the join and come out of
+    # the group with any_value semantics — joining a separate sizes frame
+    # back would re-evaluate the shingle expressions twice more.
     sh = _exploded_shingles(df, id_col, text_col, n, max_df) \
-        .select("_id", "_sh").withColumn("_h", F.xxhash64("_sh"))
+        .withColumn("_h", F.xxhash64("_sh"))
     a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    out = (
         a.join(b, (F.col("a._h") == F.col("b._h"))
                & (F.col("a._id") < F.col("b._id")))
         .filter(F.col("a._sh") == F.col("b._sh"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("_id", "id_a")
-                   .withColumnRenamed("_n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b")
-              .withColumnRenamed("_n_sh", "n_b"), "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a._n_sh")).alias("n_a"),
+            F.first(F.col("b._n_sh")).alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
