@@ -88,3 +88,36 @@ def test_sessionize_properties(spark, data_map, gap):
                 assert sid[i] == sid[i - 1] + 1, "gap must open a session"
             else:
                 assert sid[i] == sid[i - 1], "within-gap must continue"
+
+
+unique_key_events = st.dictionaries(
+    st.integers(0, 3),
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=12, unique=True),
+    min_size=1, max_size=4,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(probe_map=key_events, data_map=unique_key_events,
+       target=st.integers(2, 30), n_chunks=st.integers(2, 6))
+def test_salted_asof_equals_union_on_random_data(spark, probe_map, data_map,
+                                                 target, n_chunks):
+    """Random inputs + random hot-key thresholds/chunk counts: the salted
+    strategy must be row-identical to the plain union plan. Data offsets
+    are unique per key so no (key, ts) tie can make either engine's pick
+    ambiguous."""
+    probe_rows = _mk_events(probe_map)
+    data_rows = _mk_events(data_map)
+    probe = spark.createDataFrame(probe_rows, ["event_id", "k", "ts", "v"]) \
+        .drop("v")
+    data = spark.createDataFrame(data_rows, ["event_id", "k", "ts", "v"]) \
+        .withColumnRenamed("event_id", "d_id")
+    kw = dict(on="k", probe_ts="ts", data_ts="ts", payload=["v"])
+    base = asof_join(probe, data, strategy="union", **kw).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    salt = asof_join(probe, data, strategy="salted",
+                     target_rows_per_key=target, n_chunks=n_chunks,
+                     **kw).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert base.equals(salt)

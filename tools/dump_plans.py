@@ -22,6 +22,16 @@ def plan_of(df) -> str:
     return buf.getvalue().strip()
 
 
+def _ivf_probe_df(spark, emb):
+    import tempfile
+
+    from sptag_spark.operators.knn import ivf_build, ivf_probe
+
+    path = os.path.join(tempfile.gettempdir(), "sptag_ivf_plansdoc")
+    ivf_build(emb, n_centroids=16, path=path)
+    return ivf_probe(spark, path, emb.filter("vec_id < 2"), k=5, nprobe=2)
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -81,6 +91,39 @@ def main() -> int:
             "shuffle); the only Exchanges are the band-bucket self-join "
             "and the final distinct.",
             minhash_lsh_pairs(docs, num_hashes=12, bands=4),
+        ),
+        (
+            "As-of join (salted strategy) — hot-key chunking",
+            "The running-last window Exchange hashes on (user_id, "
+            "__asof_chunk): a hot key's timeline fans out over chunks "
+            "instead of pinning one reducer; the tiny carry frame joins "
+            "back as a BroadcastHashJoin. Fan-out is asserted at runtime "
+            "in tests/test_plans.py.",
+            asof_join(
+                ev.withColumn(
+                    "user_id",
+                    F.when(F.col("user_id") % 5 == 0,
+                           F.lit(0).cast("bigint"))
+                    .otherwise(F.col("user_id"))
+                ).filter("event_type='purchase'")
+                .select("event_id", "user_id", "ts"),
+                ev.withColumn(
+                    "user_id",
+                    F.when(F.col("user_id") % 5 == 0,
+                           F.lit(0).cast("bigint"))
+                    .otherwise(F.col("user_id"))
+                ).filter("event_type='click'").select(
+                    "user_id", "ts", F.col("value").alias("click_value")),
+                on="user_id", probe_ts="ts", data_ts="ts",
+                strategy="salted", target_rows_per_key=50, n_chunks=8),
+        ),
+        (
+            "IVF probe over the persisted index",
+            "PartitionFilters: [bucket IN (...)] — only the nprobe "
+            "bucket partitions are read (plus dynamic pruning from the "
+            "broadcast probe join); bucket assignment itself is one "
+            "Arrow kernel with zero Exchange and zero Window.",
+            _ivf_probe_df(spark, emb),
         ),
     ]
 
