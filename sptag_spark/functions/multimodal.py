@@ -8,13 +8,19 @@ opaque `binary` column + a typed metadata struct; decode / feature-extract
 / resize / frame-sample are Arrow-batched pandas functions over
 mapInPandas.
 
-The image/audio codec libraries are NOT in this container, so the codec
-boundary is explicit: `decode_image_real` / `decode_audio_real` raise
-NotImplementedError with the library they would use, and the default
-decoder is a DETERMINISTIC FAKE (bytes -> seeded ndarray) so every piece
-of Spark-side plumbing — schema, batching, partition preservation, UDF
-signatures — is real and tested. Swapping in Pillow/ffmpeg later changes
-one function, not the plan.
+The codec boundary is explicit and split by what this container can do:
+
+- UNCOMPRESSED formats decode for REAL: WAV/PCM audio via the stdlib
+  `wave` module, PPM (P6) / PGM (P5) / 24-bit BI_RGB BMP images via pure
+  struct parsing — `decode_audio_real` / `decode_image_real` handle
+  these end-to-end (round-trip tested against their encoders).
+- COMPRESSED codecs (JPEG/PNG/MP3/Opus/H.264) raise NotImplementedError
+  naming the library they would use (Pillow/ffmpeg — absent here).
+- `decode_*_fake` remain as deterministic plumbing fixtures (bytes ->
+  seeded ndarray) for tests that exercise batching/schema/partitioning
+  without real payloads.
+
+Swapping in Pillow/ffmpeg later changes one function, not the plan.
 """
 
 from __future__ import annotations
@@ -88,20 +94,137 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42,
 # codec boundary
 # ---------------------------------------------------------------------------
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    """HxW uint8 -> binary PGM (P5)."""
+    h, w = img.shape
+    assert img.dtype == np.uint8
+    return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB -> 24-bit uncompressed BI_RGB BMP (bottom-up)."""
+    import struct
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):                 # bottom-up rows
+        body += img[y, :, ::-1].tobytes()           # RGB -> BGR
+        body += b"\x00" * pad
+    size = 14 + 40 + len(body)
+    head = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return head + dib + bytes(body)
+
+
+def _parse_pnm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, HxWx3) / PGM (P5, HxW) parser."""
+    magic = data[:2]
+    depth = 3 if magic == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":                # comment line
+            while data[pos:pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while not data[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1                                         # single ws after maxval
+    w, h, maxval = fields
+    assert maxval == 255, "only 8-bit PNM supported"
+    arr = np.frombuffer(data, dtype=np.uint8, count=h * w * depth,
+                        offset=pos)
+    return arr.reshape(h, w, 3) if depth == 3 else arr.reshape(h, w)
+
+
+def _parse_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed (BI_RGB) BMP -> HxWx3 uint8 RGB."""
+    import struct
+
+    offset = struct.unpack_from("<I", data, 10)[0]
+    (hdr, w, h, _planes, bpp, comp) = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp}: only 24-bit BI_RGB is "
+            "decodable without an image library"
+        )
+    flip = h > 0                                     # positive = bottom-up
+    h = abs(h)
+    row = w * 3
+    stride = (row + 3) & ~3
+    rows = []
+    for y in range(h):
+        line = np.frombuffer(data, dtype=np.uint8, count=row,
+                             offset=offset + y * stride)
+        rows.append(line.reshape(w, 3)[:, ::-1])     # BGR -> RGB
+    img = np.stack(rows)
+    return img[::-1] if flip else img
+
+
 def decode_image_real(data: bytes, meta: dict) -> np.ndarray:
-    """Real decoder slot. Would be `PIL.Image.open(io.BytesIO(data))`."""
+    """Real image decoder for container-decodable formats: PPM/PGM/BMP.
+    Compressed codecs (PNG/JPEG/WebP) would go through Pillow/turbojpeg —
+    absent here, so they raise with the boundary named."""
+    if data[:2] in (b"P6", b"P5"):
+        return _parse_pnm(data)
+    if data[:2] == b"BM":
+        return _parse_bmp(data)
     raise NotImplementedError(
-        "image codec (Pillow/turbojpeg) not available in this environment; "
-        "use decode_image_fake for plumbing tests"
+        "compressed image codecs (PNG/JPEG/WebP) need Pillow/turbojpeg, "
+        "not available in this environment; PPM/PGM/BMP decode natively"
     )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000,
+               channels: int = 1) -> bytes:
+    """int16 waveform -> RIFF/WAVE PCM bytes (stdlib wave module)."""
+    import io
+    import wave
+
+    assert samples.dtype == np.int16
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(channels)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(samples.tobytes())
+    return buf.getvalue()
 
 
 def decode_audio_real(data: bytes, meta: dict) -> np.ndarray:
-    """Real decoder slot. Would be soundfile/ffmpeg -> float32 waveform."""
-    raise NotImplementedError(
-        "audio codec (soundfile/ffmpeg) not available in this environment; "
-        "use decode_audio_fake for plumbing tests"
-    )
+    """Real audio decoder for RIFF/WAVE PCM (stdlib wave module) ->
+    int16 samples (channel 0 when multi-channel). Compressed codecs
+    (MP3/Opus/AAC) would go through soundfile/ffmpeg — absent here."""
+    import io
+    import wave
+
+    if data[:4] != b"RIFF":
+        raise NotImplementedError(
+            "compressed audio codecs (MP3/Opus/AAC) need soundfile/ffmpeg, "
+            "not available in this environment; WAV/PCM decodes natively"
+        )
+    with wave.open(io.BytesIO(data), "rb") as f:
+        assert f.getsampwidth() == 2, "only 16-bit PCM supported"
+        frames = np.frombuffer(
+            f.readframes(f.getnframes()), dtype=np.int16
+        )
+        if f.getnchannels() > 1:
+            frames = frames.reshape(-1, f.getnchannels())[:, 0].copy()
+    return frames
 
 
 def decode_image_fake(data: bytes, meta: dict) -> np.ndarray:

@@ -100,3 +100,87 @@ def test_audio_features(media):
     for r in out.collect():
         assert r["n_samples"] == 16000
         assert r["rms"] > 0 and 0 <= r["zero_cross_rate"] <= 1
+
+
+def test_real_codecs_round_trip():
+    """The container-decodable formats decode for REAL: encode->decode is
+    the identity for PPM/PGM/BMP images and WAV/PCM audio."""
+    import numpy as np
+
+    from sptag_spark.functions.multimodal import (
+        decode_audio_real, decode_image_real, encode_bmp, encode_pgm,
+        encode_ppm, encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image_real(encode_ppm(img), {}), img)
+    assert np.array_equal(decode_image_real(encode_bmp(img), {}), img)
+    gray = rng.integers(0, 256, size=(9, 7), dtype=np.uint8)
+    assert np.array_equal(decode_image_real(encode_pgm(gray), {}), gray)
+    wav = rng.integers(-32768, 32767, size=1600, dtype=np.int16)
+    assert np.array_equal(
+        decode_audio_real(encode_wav(wav, 16000), {}), wav)
+    # stereo: channel 0 comes back
+    stereo = np.stack([wav, wav // 2], axis=1).reshape(-1).astype(np.int16)
+    assert np.array_equal(
+        decode_audio_real(encode_wav(stereo, 16000, channels=2), {}), wav)
+
+
+def test_compressed_codecs_raise_named_boundary():
+    import pytest as _pytest
+
+    from sptag_spark.functions.multimodal import (
+        decode_audio_real, decode_image_real,
+    )
+
+    with _pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image_real(b"\x89PNG\r\n\x1a\n....", {})
+    with _pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_audio_real(b"\xff\xfb\x90\x00....", {})
+
+
+def test_real_decoder_through_spark_pipeline(spark):
+    """End-to-end over REAL encoded payloads: a Spark table of PPM images
+    and WAV clips -> feature extraction with the REAL decoders -> values
+    match a pure-numpy recomputation."""
+    import numpy as np
+
+    from sptag_spark.functions.multimodal import (
+        decode_image_real, encode_ppm, encode_wav,
+        extract_audio_features, extract_image_features,
+    )
+
+    rng = np.random.default_rng(5)
+    imgs = {i: rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+            for i in range(6)}
+    wavs = {i: rng.integers(-3000, 3000, size=800, dtype=np.int16)
+            for i in range(6)}
+    img_rows = [
+        (i, "image", bytearray(encode_ppm(imgs[i])),
+         (16, 16, 3, 0, 0, "ppm")) for i in range(6)
+    ]
+    wav_rows = [
+        (i, "audio", bytearray(encode_wav(wavs[i], 16000)),
+         (0, 0, 1, 16000, 0, "wav")) for i in range(6)
+    ]
+    from sptag_spark.functions.multimodal import MEDIA_SCHEMA
+    img_df = spark.createDataFrame(img_rows, MEDIA_SCHEMA)
+    wav_df = spark.createDataFrame(wav_rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in extract_image_features(
+        img_df, decoder=decode_image_real).collect()}
+    for i, img in imgs.items():
+        f = img.astype(np.float64)
+        assert feats[i]["mean_r"] == f[:, :, 0].mean()
+        assert feats[i]["std_all"] == f.std()
+
+    afeats = {r["media_id"]: r for r in extract_audio_features(
+        wav_df, decoder=lambda d, m: __import__(
+            "sptag_spark.functions.multimodal",
+            fromlist=["decode_audio_real"]).decode_audio_real(d, m)
+    ).collect()}
+    for i, wav in wavs.items():
+        w = wav.astype(np.float64)
+        assert afeats[i]["rms"] == float(np.sqrt((w * w).mean()))
+        assert afeats[i]["n_samples"] == 800
