@@ -857,6 +857,61 @@ WHERE rank <= 10
 """
 
 
+def _q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer APPLY path (reference F4/F5, PQQuantizer.h:23-208):
+    deterministic md5-sampled integer codebooks, per-subspace argmin
+    encode, ADC table scoring — all int64, so the oracle replicates the
+    encode+score pipeline exactly. (Training quality is gated separately
+    in test_pq.py via kmeans/OPQ recall.)"""
+    from sptag_spark.operators.knn import quantize
+    from sptag_spark.operators.pq import pq_adc_topk_int, pq_codebooks_md5
+
+    emb = _embeddings(spark, sf_dir)
+    books = pq_codebooks_md5(emb, m=4, k=16)
+    qrow = emb.filter("vec_id = 0").select(
+        quantize(F.col("embedding")).alias("_q")
+    ).first()
+    return pq_adc_topk_int(emb, books, [int(x) for x in qrow["_q"]], k=10)
+
+
+def _pq_adc_oracle(m: int = 4, k: int = 16, dim: int = 64,
+                   topk: int = 10) -> str:
+    dsub = dim // m
+
+    def sq(s: int, a: str, b: str) -> str:
+        lo, hi = s * dsub + 1, (s + 1) * dsub + 1
+        return (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"i -> ({a}.q[i] - {b}.cq[i]) * ({a}.q[i] - {b}.cq[i])))")
+
+    d_cols = ",\n    ".join(f"{sq(s, 'c', 'w')} AS d{s}" for s in range(m))
+    t_cols = ",\n    ".join(f"{sq(s, 'qv', 'w')} AS t{s}" for s in range(m))
+    # tiebreak on lowest codeword index: pack (distance, j) into one
+    # BIGINT (j < 32; distances < 2^40, so d*32+j is collision-free)
+    code_cols = ",\n    ".join(
+        f"min_by(j, d{s} * 32 + j) AS c{s}" for s in range(m)
+    )
+    adc = " + ".join(
+        f"(SELECT t{s} FROM t WHERE t.j = codes.c{s})" for s in range(m)
+    )
+    return f"""
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+cw AS (SELECT row_number() OVER (
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j, q AS cq
+       FROM (SELECT vec_id, q FROM v
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})),
+qv AS (SELECT q FROM v WHERE vec_id = 0),
+t AS (SELECT w.j, {t_cols} FROM cw w, qv),
+d AS (SELECT c.vec_id, w.j,
+    {d_cols}
+  FROM v c CROSS JOIN cw w),
+codes AS (SELECT vec_id, {code_cols} FROM d GROUP BY vec_id)
+SELECT vec_id, CAST({adc} AS BIGINT) AS adc_dist
+FROM codes ORDER BY adc_dist, vec_id LIMIT {topk}
+"""
+
+
 def _q_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert semantics (reference T1/T6): latest event per
     (user_id, event_type), driven through upsert_latest with the even
@@ -1061,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_topk": _q_ivf_knn,
         "filtered_knn_topk": _q_filtered_knn,
         "lsh_near_dup": _q_lsh_near_dup,
+        "pq_adc_topk": _q_pq_adc,
         "current_state_upsert": _q_current_state,
         "dedup_apply_anti": _q_dedup_apply,
         "rank_join_multi_index": _q_rank_join,
@@ -1100,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn_topk": _IVF_ORACLE,
         "filtered_knn_topk": _FILTERED_KNN_ORACLE,
         "lsh_near_dup": _LSH_NEAR_DUP_ORACLE,
+        "pq_adc_topk": _pq_adc_oracle(4, 16, 64, 10),
         "current_state_upsert": _CURRENT_STATE_ORACLE,
         "dedup_apply_anti": _dedup_apply_oracle(12, 4, 0.5),
         "rank_join_multi_index": _RANK_JOIN_ORACLE,

@@ -101,6 +101,99 @@ def pq_reconstruct(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Integer PQ/ADC on deterministic sample codebooks — the oracle-checkable
+# quantizer-APPLY path (training quality lives in pq_train/opq_train; this
+# isolates encode + ADC scoring so DuckDB can replicate them bit-exactly)
+# ---------------------------------------------------------------------------
+
+def pq_codebooks_md5(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(m, k, dim/m) int64 codebooks = the k rows with smallest md5(id)
+    (the engine's deterministic-sample idiom, cf. knn.select_centroids),
+    quantized JVM-side (HALF_UP) and sliced per subspace."""
+    from sptag_spark.operators.knn import quantize
+
+    rows = (
+        df.select(id_col, quantize(F.col(vec_col)).alias("_q"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    full = np.array([r["_q"] for r in rows], dtype=np.int64)  # (k, dim)
+    dim = full.shape[1]
+    assert dim % m == 0
+    dsub = dim // m
+    return np.stack([full[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+
+
+def pq_adc_topk_int(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    query_q: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer PQ encode + ADC top-k: quantization stays a JVM
+    expression (HALF_UP), then one numpy pass per Arrow batch computes
+    per-subspace argmin codes (first-index tiebreak) and ADC =
+    Σ_s T_s[code_s], T from the same quantized ints on the driver. Every
+    intermediate is int64 (order-independent), so the DuckDB oracle
+    reproduces values hash-exactly. An m×k expression-tree form of the
+    same math compiles into one giant generated method and drops out of
+    codegen — the Arrow kernel is both the faster and the scale shape
+    (cf. knn.assign_buckets)."""
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from sptag_spark.operators.knn import quantize
+
+    m, kk, dsub = codebooks.shape
+    q = np.asarray(query_q, dtype=np.int64)
+    assert q.shape[0] == m * dsub
+    tables = np.stack([
+        ((codebooks[s] - q[s * dsub:(s + 1) * dsub]) ** 2).sum(axis=1)
+        for s in range(m)
+    ])                                                    # (m, k) int64
+    sel = df.select(F.col(id_col), quantize(F.col(vec_col)).alias("__q"))
+    out_schema = StructType([
+        StructField(id_col, df.schema[id_col].dataType),
+        StructField("adc_dist", LongType()),
+    ])
+
+    def run(batches):
+        for batch in batches:
+            col = batch.column("__q")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            X = np.array(col.to_pylist(), dtype=np.int64)
+            if len(X) == 0:
+                adc = np.array([], dtype=np.int64)
+            else:
+                adc = np.zeros(len(X), dtype=np.int64)
+                for s in range(m):
+                    sl = X[:, s * dsub:(s + 1) * dsub]
+                    d = ((sl[:, None, :] - codebooks[s][None, :, :]) ** 2
+                         ).sum(axis=2)                    # (n, k) exact
+                    adc += tables[s][d.argmin(axis=1)]    # first-min tie
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(id_col), pa.array(adc, pa.int64())],
+                names=[id_col, "adc_dist"],
+            )
+
+    return (
+        sel.mapInArrow(run, schema=out_schema)
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # OPQ: learned rotation before PQ (the reference's quality tier)
 # ---------------------------------------------------------------------------
 
