@@ -171,3 +171,60 @@ def write_xvec(df_pandas, path: str, value_type: str = "float32") -> None:
         for row in mat:
             f.write(dim.tobytes())
             f.write(row.tobytes())
+
+
+def read_b64_vectors(
+    spark: SparkSession,
+    path: str,
+    value_type: str = "float32",
+) -> DataFrame:
+    """Base64-payload TXT format: `metadata\\t<base64(packed little-endian
+    vector)>` — the reference's F8 base64 metadata/payload decode
+    (Helper/Base64Encode, used by the socket/REST transport). The base64
+    → binary step is the JVM `unbase64` expression; unpacking the fixed-
+    width binary into a typed array is one np.frombuffer per Arrow batch.
+    """
+    import pyarrow as pa
+
+    np_t = _NP_TYPES[value_type]
+    arrow_t = pa.float32() if value_type == "float32" else pa.int32()
+    out_schema = StructType([
+        StructField("metadata", StringType()),
+        StructField("vector", ArrayType(_SPARK_ELEM[value_type])),
+    ])
+
+    lines = spark.read.text(path)
+    tab = F.split(F.col("value"), "\t", 2)
+    decoded = lines.select(
+        tab.getItem(0).alias("metadata"),
+        F.unbase64(tab.getItem(1)).alias("_raw"),
+    )
+
+    def unpack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            raw = batch.column("_raw")
+            if isinstance(raw, pa.ChunkedArray):
+                raw = raw.combine_chunks()
+            vecs = [
+                np.frombuffer(buf.as_py(), dtype=np_t)
+                for buf in raw
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("metadata"),
+                 pa.array([v.tolist() for v in vecs],
+                          pa.list_(arrow_t))],
+                names=["metadata", "vector"],
+            )
+
+    return decoded.mapInArrow(unpack, schema=out_schema)
+
+
+def write_b64_vectors(metadata, mat, path: str,
+                      value_type: str = "float32") -> None:
+    """Test/export helper: `metadata\\tbase64(vector bytes)` lines."""
+    import base64
+
+    m = np.ascontiguousarray(mat, dtype=_NP_TYPES[value_type])
+    with open(path, "w") as f:
+        for meta, row in zip(metadata, m):
+            f.write(f"{meta}\t{base64.b64encode(row.tobytes()).decode()}\n")

@@ -171,6 +171,29 @@ def stream_stateful_counts(
     )
 
 
+def stream_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: content fingerprint (md5 of normalized
+    text, identical to the batch operator's) + dropDuplicatesWithinWatermark
+    — the reference's visited-set CheckAndSet (WorkSpace.h:114-165) with
+    Spark's state store as the set and the watermark as its eviction
+    policy: a duplicate arriving within the watermark of the first copy
+    is dropped; state older than the watermark evicts, bounding memory at
+    any corpus size. Keeps the FIRST-arrived copy (stream-time keep-first
+    — the batch twin keeps min doc_id; both are 'one canonical survivor
+    per fingerprint', tested to agree on the survivor fp set)."""
+    from sptag_spark.functions.text import doc_fingerprint
+
+    ev = docs.withColumn("fp", doc_fingerprint(F.col(text_col)))
+    ev = ev.withColumn(ts, F.col(ts).cast("timestamp")) \
+        .withWatermark(ts, watermark)
+    return ev.dropDuplicatesWithinWatermark(["fp"])
+
+
 def incremental_append(
     stream: DataFrame,
     out_path: str,

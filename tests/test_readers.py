@@ -88,3 +88,29 @@ def test_xvec_corrupt_fails_loudly(spark, tmp_path, mats):
         f.write(b"xx")  # trailing garbage
     with pytest.raises(Exception):
         read_xvec(spark, str(d), "float32").count()
+
+
+def test_b64_vectors_round_trip(spark, tmp_path):
+    """F8 base64 payload decode: unbase64 (JVM) + frombuffer (Arrow) must
+    reproduce the written vectors byte-exactly, both dtypes."""
+    import numpy as np
+
+    from sptag_spark.sources.readers import read_b64_vectors, write_b64_vectors
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(20, 6)).astype(np.float32)
+    p = str(tmp_path / "vecs_b64.txt")
+    write_b64_vectors([f"m{i}" for i in range(20)], mat, p)
+    got = {r["metadata"]: np.array(r["vector"], dtype=np.float32)
+           for r in read_b64_vectors(spark, p).collect()}
+    assert len(got) == 20
+    for i in range(20):
+        assert np.array_equal(got[f"m{i}"], mat[i])
+
+    imat = rng.integers(-100, 100, size=(7, 4)).astype(np.int16)
+    p2 = str(tmp_path / "ivecs_b64.txt")
+    write_b64_vectors([str(i) for i in range(7)], imat, p2, "int16")
+    got2 = {r["metadata"]: r["vector"] for r in
+            read_b64_vectors(spark, p2, "int16").collect()}
+    for i in range(7):
+        assert got2[str(i)] == imat[i].tolist()

@@ -260,3 +260,37 @@ def test_asof_enrich_batch_replay_is_idempotent(spark, tmp_path):
     n1 = spark.read.parquet(out).count()
     handle(probes, 0)  # crash-replay of the same micro-batch
     assert spark.read.parquet(out).count() == n1 == 2
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Duplicates within AND across micro-batches collapse to one
+    survivor per fingerprint; the survivor fp set equals the batch
+    operator's canonical set."""
+    import datetime as dt
+
+    from sptag_spark.operators.dedup import exact_dedup
+    from sptag_spark.streaming.jobs import (
+        run_available_now, stream_exact_dedup,
+    )
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    texts = ["alpha beta gamma", "delta epsilon", "alpha beta gamma",
+             "zeta eta", "delta  epsilon!",  # normalizes equal to #2
+             "theta iota"]
+    rows = [(i, texts[i], t0 + dt.timedelta(minutes=i))
+            for i in range(len(texts))]
+    src = str(tmp_path / "docs")
+    df = spark.createDataFrame(rows, ["doc_id", "text", "ts"])
+    # two files -> with maxFilesPerTrigger=1, dups straddle micro-batches
+    df.filter("doc_id < 3").coalesce(1).write.parquet(src)
+    df.filter("doc_id >= 3").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(df.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_exact_dedup(stream)
+    run_available_now(out, "dedup_sink", output_mode="append")
+    got = spark.sql("SELECT * FROM dedup_sink").collect()
+
+    batch = exact_dedup(df).filter("is_duplicate = 0").collect()
+    assert {r["fp"] for r in got} == {r["fp"] for r in batch}
+    assert len(got) == len(batch) == 4
