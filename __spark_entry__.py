@@ -603,22 +603,31 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_band_ctes(num_hashes: int, bands: int) -> str:
     """Shared CTE block: per-doc MinHash signatures + banded keys +
-    distinct candidate pairs (mirrors dedup.minhash_lsh_pairs)."""
+    distinct candidate pairs (mirrors dedup.minhash_lsh_pairs: one md5
+    base hash per shingle, then exact-int64 multiply-shift permutations
+    with the same (a,b) literals)."""
+    from sptag_spark.operators.dedup import _MH_MASK61, _mh_params
+
     r = num_hashes // bands
+    params = _mh_params(num_hashes)
     sig_cols = ",\n    ".join(
-        f"list_min(list_transform(sh, x -> md5('{h}|' || x))) AS mh{h}"
-        for h in range(num_hashes)
+        f"list_min(list_transform(xs, x -> ({a} * x + {b}) & {_MH_MASK61}))"
+        f" AS mh{h}"
+        for h, (a, b) in enumerate(params)
     )
     band_selects = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        f"SELECT doc_id, {b} AS band, concat_ws('|', "
         + ", ".join(f"mh{b * r + i}" for i in range(r))
-        + ")) AS bkey FROM sig"
+        + ") AS bkey FROM sig"
         for b in range(bands)
     )
     return f""",
+xs0 AS (SELECT doc_id,
+    list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS xs
+  FROM s),
 sig AS (SELECT doc_id,
     {sig_cols}
-  FROM s),
+  FROM xs0),
 bands AS ({band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b

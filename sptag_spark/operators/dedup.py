@@ -176,6 +176,24 @@ def jaccard_pairs(
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
+_MH_MASK61 = (1 << 61) - 1
+
+
+def _mh_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic multiply-shift constants (a_h odd 31-bit, b_h
+    61-bit) from md5 bytes — shared literals between the Spark
+    expressions and the SQL oracle."""
+    import hashlib
+
+    out = []
+    for h in range(num_hashes):
+        d = hashlib.md5(f"mh|{seed}|{h}".encode()).digest()
+        a = (int.from_bytes(d[:4], "big") | 1) & 0x7FFFFFFF
+        b = int.from_bytes(d[4:12], "big") & _MH_MASK61
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -183,27 +201,39 @@ def minhash_signature(
     num_hashes: int = 12,
     n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed h, min over shingles of
-    md5(h || '|' || shingle). md5 agrees byte-for-byte across Spark and
-    DuckDB, and lexicographic min over hex strings is engine-neutral —
-    no custom hash family needed for the oracle."""
-    # Materialize the shingle array in its own projection so codegen
-    # computes it once per row; inlining it would re-derive (normalize +
-    # split + n-gram) num_hashes times.
+    """Per-doc MinHash signature: ONE md5 per shingle (base hash x =
+    first 8 md5 hex chars as int), then num_hashes exact-integer
+    multiply-shift permutations h_i(x) = (a_i*x + b_i) & (2^61-1) —
+    a_i < 2^31 and x < 2^32, so every product stays inside int64 and
+    both engines compute it exactly. ~10x less hashing than num_hashes
+    seeded md5s per shingle; the md5 base keeps the family engine-
+    neutral for the oracle."""
+    # Materialize shingles AND the base-hash array in their own
+    # projections: each is referenced by num_hashes sibling expressions,
+    # and CollapseProject would otherwise re-inline the md5 per hash.
     shingled = _ensure_parallel(df).select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_shingles"),
     )
-    # NOTE: closure factory, not `lambda s, h=h`: pyspark counts default
-    # params in the lambda arity and would bind the array INDEX to h.
-    def _seeded_md5(h: int):
-        return lambda s: F.md5(F.concat_ws("|", F.lit(str(h)), s))
+    based = shingled.select(
+        "_id",
+        F.transform(
+            F.col("_shingles"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long"),
+        ).alias("_xs"),
+    )
+
+    def _perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)).bitwiseAND(
+            F.lit(_MH_MASK61)
+        )
 
     sig = F.array(*[
-        F.array_min(F.transform(F.col("_shingles"), _seeded_md5(h)))
-        for h in range(num_hashes)
+        F.array_min(F.transform(F.col("_xs"), _perm(a, b)))
+        for a, b in _mh_params(num_hashes)
     ])
-    return shingled.select("_id", sig.alias("sig"))
+    return based.select("_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -229,10 +259,13 @@ def minhash_lsh_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.md5(F.concat_ws(
+                    # raw signature-slice concat IS the band key — an
+                    # extra md5 over it buys nothing the equi-join
+                    # doesn't already have
+                    F.concat_ws(
                         "|",
                         *[F.element_at("sig", b * r + i + 1) for i in range(r)],
-                    )).alias("bkey"),
+                    ).alias("bkey"),
                 )
                 for b in range(bands)
             ])
