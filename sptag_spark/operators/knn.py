@@ -670,6 +670,10 @@ def multi_index_topk(
     ordered array literal) and takes a global top-k — no join at all, and
     the scan is whole-stage-codegen'd. Query i's weight is weights[i],
     matching the reference's weighted-sum rank UDF (:41-49).
+
+    For MANY queries (beyond ~10², where inlining N×dim literals stops
+    compiling well) use `multi_index_topk_join` — same semantics, the
+    query frame broadcasts as data instead of literals.
     """
     qrows = queries.select(id_col, vec_col).collect()
     assert len(qrows) == len(weights), "one weight per query"
@@ -685,6 +689,49 @@ def multi_index_topk(
     return (
         c.withColumn("score", score)
         .orderBy(F.col("score").desc(), F.col("_id").asc())
+        .limit(k)
+        .select(F.col("_id").alias("vec_id"), "score")
+    )
+
+
+def multi_index_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Rank join for LARGE query sets: the query frame (with its weight
+    column) broadcasts as data, every (corpus row × query) pair scores
+    in one codegen pass, and the weighted sum folds in a map-side-
+    combinable aggregation — no literals, no driver collect, so 10⁴
+    queries cost one broadcast instead of 10⁴×dim inlined constants.
+    Same semantics as multi_index_topk (which stays the small-N fast
+    path); agreement is tested to float tolerance (the aggregation's
+    addition order is partition-dependent)."""
+    c = _with_quantized(corpus, id_col, vec_col)
+    q = _with_quantized(queries, id_col, vec_col) \
+        .withColumnRenamed("_id", "_qid") \
+        .withColumnRenamed("_q", "_qq") \
+        .withColumnRenamed("_norm", "_qnorm")
+    w = queries.select(
+        F.col(id_col).alias("_qid"), F.col(weight_col).alias("_w")
+    )
+    scored = (
+        c.join(F.broadcast(q.join(w, "_qid")))
+        .withColumn(
+            "_s",
+            F.col("_w") * cosine_from_quantized(
+                idot(F.col("_q"), F.col("_qq")),
+                F.col("_norm"), F.col("_qnorm"),
+            ),
+        )
+        .groupBy("_id")
+        .agg(F.sum("_s").alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("_id").asc())
         .limit(k)
         .select(F.col("_id").alias("vec_id"), "score")
     )

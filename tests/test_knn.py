@@ -119,3 +119,29 @@ def test_mrr(emb, spark):
     fake_truth = spark.createDataFrame(
         [(q, 10**9) for q in range(5)], ["query_id", "vec_id"])
     assert mrr_at_k(exact, fake_truth) == 0.0
+
+
+def test_multi_index_join_path_agrees_with_literal_path(emb, spark):
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.knn import (
+        multi_index_topk, multi_index_topk_join,
+    )
+
+    qids = [0, 1, 3]
+    weights = [0.5, 0.3, 0.2]
+    lit = multi_index_topk(
+        emb, emb.filter(F.col("vec_id").isin(qids)).orderBy("vec_id"),
+        weights=weights, k=10).collect()
+    wmap = dict(zip(qids, weights))
+    qdf = emb.filter(F.col("vec_id").isin(qids)).withColumn(
+        "weight",
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in wmap.items() for x in kv]),
+            F.col("vec_id"),
+        ),
+    )
+    jn = multi_index_topk_join(emb, qdf, k=10).collect()
+    assert [r["vec_id"] for r in lit] == [r["vec_id"] for r in jn]
+    for a, b in zip(lit, jn):
+        assert abs(a["score"] - b["score"]) < 1e-12
