@@ -596,12 +596,18 @@ def ivf_probe(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """Probe a persisted IVF index: nprobe bucket ids per query via the
     centroid kernel, then a PARTITION-PRUNED scan of exactly those
     posting partitions (the driver-side bucket list is bounded by
     n_centroids — tiny — and is the standard static-pruning idiom; the
-    corpus itself is never touched outside the probed buckets)."""
+    corpus itself is never touched outside the probed buckets).
+
+    `predicate` (Column or SQL string over posting columns) composes
+    filtered ANN with the index: it lands in the SAME pruned scan as a
+    pushed filter, below the scoring join — the reference's
+    SearchIndexWithFilter over SPANN postings (VectorIndex.h:59)."""
     centroids = spark.read.parquet(f"{path}/centroids")
     probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col)
     buckets = sorted(
@@ -610,6 +616,8 @@ def ivf_probe(
     postings = spark.read.parquet(f"{path}/postings").filter(
         F.col("bucket").isin(buckets)
     )
+    if predicate is not None:
+        postings = postings.filter(predicate)
     qvec = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )

@@ -211,3 +211,24 @@ def test_salted_asof_fans_hot_key_across_chunks(spark, events):
     counts = [r["count"] for r in per_chunk]
     assert len(counts) >= 4, counts
     assert max(counts) <= 0.6 * sum(counts), counts
+
+
+def test_ivf_probe_with_predicate_pushes_both_filters(spark, tmp_path):
+    """Filtered ANN composed with the persisted index: ONE scan carries
+    BOTH the bucket partition pruning and the metadata pushed filter."""
+    import re
+
+    from sptag_spark.operators.knn import ivf_build, ivf_probe
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf_f")
+    ivf_build(emb, n_centroids=8, path=path)
+    out = ivf_probe(spark, path, emb.filter("vec_id < 2"), k=5, nprobe=2,
+                    predicate="label = 1")
+    p = plan_of(out)
+    assert re.search(r"PartitionFilters: \[bucket#\d+ IN \(", p), p
+    assert "EqualTo(label,1)" in p
+    rows = out.collect()
+    labels = {r["vec_id"]: r for r in
+              emb.filter("label = 1").select("vec_id").collect()}
+    assert all(r["vec_id"] in labels for r in rows)
