@@ -48,9 +48,11 @@ class SnapshotTable:
         return snaps[-1]["version"] if snaps else 0
 
     # -- write -------------------------------------------------------------
-    def append(self, df: DataFrame, ts_col: str | None = None) -> dict:
+    def append(self, df: DataFrame, ts_col: str | None = None,
+               op: str = "append") -> dict:
         """Write one immutable snapshot directory + a log entry (rows,
-        digest, min/max ts). The log write is atomic (tmp + replace)."""
+        digest, min/max ts, operation kind). The log write is atomic
+        (tmp + replace)."""
         version = self.current_version() + 1
         path = os.path.join(self.root, f"snap-{version:06d}")
         df.write.mode("errorifexists").parquet(path)
@@ -59,6 +61,7 @@ class SnapshotTable:
         entry = {
             "version": version,
             "path": path,
+            "op": op,
             "committed_at": time.time(),
             **stats,
         }
@@ -68,6 +71,91 @@ class SnapshotTable:
             json.dump(snaps, f)
         os.replace(tmp, self._log_path())
         return entry
+
+    # -- KV (merge-on-read) -------------------------------------------------
+    # The reference's KV posting store (SPDK/RocksDB backends behind
+    # IExtraSearcher: upsert a posting by key, tombstone-delete, read the
+    # merged current state, compact) — restated as snapshot operations:
+    # every upsert/delete is an immutable snapshot, the merge happens at
+    # READ time (latest snapshot version wins per key; tombstones drop
+    # keys), and checkpoint() rewrites the merged state as a new base so
+    # reads stop replaying history (the reference's merge/compaction,
+    # ExtraDynamicSearcher merge path).
+
+    def upsert(self, df: DataFrame, ts_col: str | None = None) -> dict:
+        """One snapshot of rows that REPLACE any earlier row sharing the
+        key (applied at read time)."""
+        return self.append(df, ts_col=ts_col, op="upsert")
+
+    def delete(self, keys_df: DataFrame) -> dict:
+        """Tombstone snapshot: keys whose rows disappear from reads at
+        and after this version (time travel before it still sees them)."""
+        return self.append(keys_df, op="delete")
+
+    def read_kv(self, spark: SparkSession, keys: list[str],
+                version: int | None = None) -> DataFrame:
+        """Merged current state as of `version`: latest upsert per key,
+        minus keys whose latest operation is a tombstone.
+
+        Plan shape: one scan per LIVE snapshot (bounded by checkpointing)
+        unioned with a literal version column, one window per key —
+        a single shuffle on the key, same as the reference's merge-on-
+        read posting chain walk."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        snaps = self.snapshots()
+        if version is not None:
+            snaps = [s for s in snaps if s["version"] <= version]
+        # replay only from the newest base/checkpoint snapshot
+        base_idx = 0
+        for i, s in enumerate(snaps):
+            if s.get("op") == "base":
+                base_idx = i
+        snaps = snaps[base_idx:]
+        if not snaps:
+            raise ValueError(f"no snapshots at or before version {version}")
+        parts = []
+        data_cols: list[tuple[str, str]] | None = None
+        for s in snaps:
+            df = spark.read.parquet(s["path"])
+            is_del = s.get("op") == "delete"
+            if not is_del and data_cols is None:
+                data_cols = [
+                    (c, df.schema[c].dataType.simpleString())
+                    for c in df.columns if c not in keys
+                ]
+            parts.append(
+                (df if not is_del else df.select(*keys))
+                .withColumn("__v", F.lit(s["version"]))
+                .withColumn("__del", F.lit(1 if is_del else 0))
+            )
+        # align schemas (delete snapshots carry only the key columns)
+        aligned = []
+        for p in parts:
+            for c, t in (data_cols or []):
+                if c not in p.columns:
+                    p = p.withColumn(c, F.lit(None).cast(t))
+            aligned.append(p.select(*keys,
+                                    *[c for c, _ in (data_cols or [])],
+                                    "__v", "__del"))
+        u = aligned[0]
+        for p in aligned[1:]:
+            u = u.unionByName(p)
+        w = Window.partitionBy(*keys).orderBy(F.col("__v").desc())
+        return (
+            u.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("__del") == 0))
+            .drop("__v", "__del", "__rn")
+        )
+
+    def checkpoint(self, spark: SparkSession, keys: list[str]) -> dict:
+        """Materialize the merged KV state as a new BASE snapshot:
+        subsequent read_kv calls replay from here instead of the full
+        history (compaction; the log keeps every older snapshot for time
+        travel)."""
+        state = self.read_kv(spark, keys)
+        return self.append(state, op="base")
 
     # -- read --------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

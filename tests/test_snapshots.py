@@ -71,3 +71,52 @@ def test_snapshot_resume_processing(spark, table, tmp_path):
 def test_read_before_first_version_raises(spark, table):
     with pytest.raises(ValueError):
         table.read(spark, version=0)
+
+
+def test_kv_merge_on_read_upsert_delete_timetravel(spark, tmp_path):
+    """S8 KV posting store: latest upsert wins per key, tombstones drop
+    keys from the merged state, and time travel still sees pre-delete
+    history (reference merge-on-read posting chain)."""
+    from sptag_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "kv"))
+    v1 = t.upsert(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], ["k", "payload", "n"]))
+    v2 = t.upsert(spark.createDataFrame(
+        [(2, "b2", 21), (3, "c", 30)], ["k", "payload", "n"]))
+    v3 = t.delete(spark.createDataFrame([(1,)], ["k"]))
+
+    cur = {r["k"]: (r["payload"], r["n"])
+           for r in t.read_kv(spark, ["k"]).collect()}
+    assert cur == {2: ("b2", 21), 3: ("c", 30)}  # 1 tombstoned, 2 updated
+
+    asof_v1 = {r["k"]: r["payload"]
+               for r in t.read_kv(spark, ["k"], version=v1["version"]).collect()}
+    assert asof_v1 == {1: "a", 2: "b"}
+    asof_v2 = {r["k"]: r["payload"]
+               for r in t.read_kv(spark, ["k"], version=v2["version"]).collect()}
+    assert asof_v2 == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_kv_checkpoint_compacts_replay(spark, tmp_path):
+    """checkpoint() materializes a base snapshot; reads after it replay
+    only from the base and still return the same merged state (plus
+    later changes)."""
+    from sptag_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "kv"))
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "p"]))
+    t.delete(spark.createDataFrame([(2,)], ["k"]))
+    before = {r["k"]: r["p"] for r in t.read_kv(spark, ["k"]).collect()}
+    base = t.checkpoint(spark, ["k"])
+    assert base["op"] == "base"
+    after = {r["k"]: r["p"] for r in t.read_kv(spark, ["k"]).collect()}
+    assert after == before == {1: "a"}
+    # post-checkpoint changes still apply on top of the base
+    t.upsert(spark.createDataFrame([(1, "a2"), (4, "d")], ["k", "p"]))
+    final = {r["k"]: r["p"] for r in t.read_kv(spark, ["k"]).collect()}
+    assert final == {1: "a2", 4: "d"}
+    # a reader pinned before the checkpoint is unaffected
+    old = {r["k"]: r["p"]
+           for r in t.read_kv(spark, ["k"], version=1).collect()}
+    assert old == {1: "a", 2: "b"}
