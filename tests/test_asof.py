@@ -10,7 +10,14 @@ from pyspark.sql import functions as F
 from sptag_spark.operators.asof import asof_join
 from tests.util import assert_df_equal
 
-STRATEGIES = ["union", "broadcast", "merge"]
+STRATEGIES = ["union", "broadcast", "merge", "salted"]
+
+
+def _kw(strategy):
+    """Force real chunking for the salted strategy on the small fixture."""
+    extra = {"target_rows_per_key": 50, "n_chunks": 8} \
+        if strategy == "salted" else {}
+    return dict(strategy=strategy, **extra)
 
 
 def _probe_data(spark):
@@ -37,7 +44,7 @@ ON p.user_id = c.user_id AND p.ts {op} c.ts
 def test_asof_inclusive_matches_duckdb(spark, ddb, strategy):
     probe, data = _probe_data(spark)
     got = asof_join(probe, data, on="user_id", probe_ts="ts", data_ts="ts",
-                    strategy=strategy)
+                    **_kw(strategy))
     assert_df_equal(got, ddb.sql(ORACLE.format(op=">=")).df())
 
 
@@ -45,7 +52,7 @@ def test_asof_inclusive_matches_duckdb(spark, ddb, strategy):
 def test_asof_strict_matches_duckdb(spark, ddb, strategy):
     probe, data = _probe_data(spark)
     got = asof_join(probe, data, on="user_id", probe_ts="ts", data_ts="ts",
-                    strict=True, strategy=strategy)
+                    strict=True, **_kw(strategy))
     assert_df_equal(got, ddb.sql(ORACLE.format(op=">")).df())
 
 
@@ -55,7 +62,7 @@ def test_asof_zero_leakage(spark, strategy):
     (FIXTURES.md T5 leakage probe)."""
     probe, data = _probe_data(spark)
     base = asof_join(probe, data, on="user_id", probe_ts="ts", data_ts="ts",
-                     strategy=strategy).toPandas()
+                     **_kw(strategy)).toPandas()
     # Plant a poison row 1us after each user's LAST probe: invisible to
     # every probe of that user iff the operator never reads the future.
     leak = probe.groupBy("user_id").agg(
@@ -65,7 +72,7 @@ def test_asof_zero_leakage(spark, strategy):
     )
     poisoned = data.unionByName(leak)
     got = asof_join(probe, poisoned, on="user_id", probe_ts="ts", data_ts="ts",
-                    strategy=strategy).toPandas()
+                    **_kw(strategy)).toPandas()
     assert not (got["click_value"] > 9e9).any(), "future row leaked into result"
     matched = got["matched_ts"].notna()
     assert (got.loc[matched, "matched_ts"] <= got.loc[matched, "ts"]).all(), (
