@@ -7,7 +7,7 @@ as-of join -> noop write) on the IDENTICAL pre-generated input, run at
 local[N] and local[4N] on the same machine, 3 repeats, median, with
 shuffle partitions scaled 2x cores (as they would be cluster-side).
 
-Prints one JSON line and rewrites the measured section of BENCH.md.
+Prints one JSON line and rewrites the measured section of BENCH.md\n(everything before the first '## ' heading; later sections survive).
 
 Usage: python tools/scaling_bench.py [n_docs] [N] [repeats]
 """
@@ -118,8 +118,17 @@ def main() -> int:
     }
     print(json.dumps(result))
 
+    # Replace ONLY the measured top section of BENCH.md; hand-written
+    # sections (method notes, smoke runs, round comparisons) start at the
+    # first "## " heading and are preserved.
     bench_md = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_md):
+        cur = open(bench_md).read()
+        idx = cur.find("\n## ")
+        if idx != -1:
+            tail = cur[idx:]
     with open(bench_md, "w") as f:
         f.write(f"""# BENCH — scaling evidence (north rule: N→4N efficiency ≥ 0.8)
 
@@ -152,7 +161,7 @@ shown alongside).
 Raw repeats (sec): N={small['times_sec']}, 4N={big['times_sec']}.
 
 Reproduce: `python tools/scaling_bench.py {n_docs} {n_small} {repeats}`.
-""")
+""" + tail)
     return 0
 
 
