@@ -24,7 +24,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--probes", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--strategy", default="union",
-                    choices=["union", "broadcast", "merge"])
+                    choices=["union", "broadcast", "merge", "salted"])
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession

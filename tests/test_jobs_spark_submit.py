@@ -90,3 +90,27 @@ def test_spark_submit_pipeline_with_resume(tmp_path):
                 "--probes", os.path.join(corpus, "asof_probes.parquet"),
                 "--out", served)
     assert s["probes_served"] == 1000
+
+
+def test_spark_submit_dedup_corpus(tmp_path):
+    """The dedup CLI drives the LSH+verify pipeline through the real
+    spark-submit binary and drops exactly the planted near-dups."""
+    import duckdb
+
+    tmp = str(tmp_path)
+    zpath = _zip_package(tmp)
+    out = os.path.join(tmp, "kept")
+    src = "/root/testdata/sf0.01/documents.parquet"
+
+    m = _submit(zpath, "dedup_corpus.py", "--in", src, "--out", out,
+                "--method", "jaccard_lsh", "--threshold", "0.5")
+    assert m["docs_in"] == m["docs_kept"] + m["docs_dropped"]
+    # oracle: the contract query's loser count on the same corpus
+    n_in = duckdb.sql(f"SELECT count(*) FROM '{src}'").fetchone()[0]
+    assert m["docs_in"] == n_in
+    assert m["docs_dropped"] > 0  # the corpus has planted near-dups
+
+    m2 = _submit(zpath, "dedup_corpus.py", "--in", src,
+                 "--out", os.path.join(tmp, "kept_exact"),
+                 "--method", "exact")
+    assert m2["docs_kept"] <= m["docs_in"]
