@@ -1069,6 +1069,31 @@ WHERE rank <= 6
 """
 
 
+def _q_source_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the zipf-skewed source column
+    (north rule: explicit salting for hot doc_id/source keys). The salt
+    plan derives from observed counts; partial aggregation on
+    (source, salt) means no reducer owns the hot key. Integer sums are
+    associative, so the result is hash-identical to the plain GROUP BY
+    the oracle runs."""
+    from sptag_spark.operators.skew import salted_agg
+
+    docs = _documents(spark, sf_dir).select("source", "n_chars")
+    # target low enough that the dominant source actually salts at sf0.01
+    return salted_agg(docs, "source", "n_chars", target_rows_per_task=100)
+
+
+_SOURCE_STATS_SALTED_ORACLE = """
+SELECT source,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       count(n_chars) AS count_n_chars,
+       min(n_chars) AS min_n_chars,
+       max(n_chars) AS max_n_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(n_chars) AS avg_n_chars
+FROM documents GROUP BY source
+"""
+
+
 def _q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     return (
@@ -1131,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_join_multi_index": _q_rank_join,
         "knn_graph": _q_knn_graph,
         "json_extract_agg": _q_json_extract,
+        "source_stats_salted": _q_source_stats_salted,
         "corpus_stats_rollup": _q_corpus_rollup,
         "corpus_stats_cube": _q_corpus_cube,
     }
@@ -1171,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_join_multi_index": _RANK_JOIN_ORACLE,
         "knn_graph": _KNN_GRAPH_ORACLE,
         "json_extract_agg": _JSON_EXTRACT_ORACLE,
+        "source_stats_salted": _SOURCE_STATS_SALTED_ORACLE,
         "corpus_stats_rollup": _CORPUS_ROLLUP_ORACLE,
         "corpus_stats_cube": _CORPUS_CUBE_ORACLE,
     }
