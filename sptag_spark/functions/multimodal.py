@@ -128,26 +128,39 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 def _parse_pnm(data: bytes) -> np.ndarray:
-    """Binary PPM (P6, HxWx3) / PGM (P5, HxW) parser."""
+    """Binary PPM (P6, HxWx3) / PGM (P5, HxW) parser. Every header scan
+    is EOF-bounded: a truncated/corrupt byte string raises ValueError
+    instead of spinning an executor task forever."""
     magic = data[:2]
     depth = 3 if magic == b"P6" else 1
+    n = len(data)
     pos, fields = 2, []
     while len(fields) < 3:
-        while pos < len(data) and data[pos:pos + 1].isspace():
+        while pos < n and data[pos:pos + 1].isspace():
             pos += 1
+        if pos >= n:
+            raise ValueError("truncated PNM header")
         if data[pos:pos + 1] == b"#":                # comment line
-            while data[pos:pos + 1] != b"\n":
+            while pos < n and data[pos:pos + 1] != b"\n":
                 pos += 1
             continue
         start = pos
-        while not data[pos:pos + 1].isspace():
+        while pos < n and not data[pos:pos + 1].isspace():
             pos += 1
-        fields.append(int(data[start:pos]))
+        try:
+            fields.append(int(data[start:pos]))
+        except ValueError as e:
+            raise ValueError(f"malformed PNM header token "
+                             f"{data[start:pos]!r}") from e
     pos += 1                                         # single ws after maxval
     w, h, maxval = fields
-    assert maxval == 255, "only 8-bit PNM supported"
-    arr = np.frombuffer(data, dtype=np.uint8, count=h * w * depth,
-                        offset=pos)
+    if maxval != 255:
+        raise ValueError("only 8-bit PNM supported")
+    need = h * w * depth
+    if n - pos < need:
+        raise ValueError(f"truncated PNM body: need {need} bytes, "
+                         f"have {n - pos}")
+    arr = np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
     return arr.reshape(h, w, 3) if depth == 3 else arr.reshape(h, w)
 
 

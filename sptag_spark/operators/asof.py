@@ -78,6 +78,12 @@ def asof_join(
     column except the join keys and ``data_ts``.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    # A data row with NULL ts can never qualify (`ts <= asof_ts` is never
+    # true for NULL in SQL); filtering here makes all four strategies
+    # agree — the union window's nulls-first ordering would otherwise
+    # silently hand a null-ts payload to later probes, and merge_asof
+    # cannot sort NaT keys at all.
+    data = data.filter(F.col(data_ts).isNotNull())
     if payload is None:
         payload = [c for c in data.columns if c not in keys and c != data_ts]
     payload = list(payload)

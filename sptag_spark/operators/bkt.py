@@ -36,7 +36,6 @@ from pyspark.sql.types import (
 )
 
 from sptag_spark.operators.kmeans import kmeans_fit
-from sptag_spark.operators.knn import _score_candidates
 
 
 def hierarchical_heads_fit(
@@ -252,10 +251,14 @@ def ivf_probe_hierarchical(
     coarse_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """Probe the persisted two-level index: descend the tiers for bucket
-    ids, then the standard partition-pruned candidate scan + exact
-    quantized-cosine top-k (same tail as knn.ivf_probe)."""
+    ids, then the SHARED partition-pruned scoring tail
+    (knn.probe_pruned_topk — one probe-kernel execution, optional
+    pushed metadata predicate)."""
+    from sptag_spark.operators.knn import probe_pruned_topk
+
     c_rows = spark.read.parquet(f"{path}/coarse").collect()
     f_rows = spark.read.parquet(f"{path}/fine").collect()
     k1 = len(c_rows)
@@ -271,18 +274,5 @@ def ivf_probe_hierarchical(
     probes = _probe_buckets_hierarchical(
         queries, coarse, fine, nprobe, coarse_probe, id_col, vec_col
     )
-    buckets = sorted(
-        r["bucket"] for r in probes.select("bucket").distinct().collect()
-    )
-    postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("bucket").isin(buckets)
-    )
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    candidates = (
-        postings.join(F.broadcast(probes), "bucket")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .join(F.broadcast(qvec), "query_id")
-    )
-    return _score_candidates(candidates, k, id_col, vec_col)
+    return probe_pruned_topk(spark, path, probes, queries, k,
+                             id_col, vec_col, predicate)

@@ -99,11 +99,14 @@ def _exploded_shingles(
         F.explode("_shingles").alias("_sh"),
     )
     if max_df is not None:
+        # Broadcast the STOP set, not the keep set: the keep side is
+        # ~the whole distinct-shingle vocabulary (unbounded — broadcasting
+        # it would OOM the driver at corpus scale), while the stop side is
+        # bounded by total_shingle_rows / max_df keys BY CONSTRUCTION
+        # (each stop shingle accounts for > max_df rows).
         freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-        sh = sh.join(
-            F.broadcast(freq.filter(F.col("_df") <= max_df).select("_sh")),
-            "_sh",
-        )
+        stop = freq.filter(F.col("_df") > max_df).select("_sh")
+        sh = sh.join(F.broadcast(stop), "_sh", "left_anti")
     return sh
 
 
@@ -188,8 +191,11 @@ def _mh_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     out = []
     for h in range(num_hashes):
         d = hashlib.md5(f"mh|{seed}|{h}".encode()).digest()
-        a = (int.from_bytes(d[:4], "big") | 1) & 0x7FFFFFFF
-        b = int.from_bytes(d[4:12], "big") & _MH_MASK61
+        # a < 2^30 and x < 2^32 keep a*x < 2^62, + b < 2^61 stays inside
+        # int64 for EVERY (a, b) — 31-bit a's overflowed for some h under
+        # ANSI mode (and errored in DuckDB) once num_hashes grew past 32.
+        a = (int.from_bytes(d[:4], "big") | 1) & 0x3FFFFFFF
+        b = int.from_bytes(d[4:12], "big") & ((1 << 60) - 1)
         out.append((a, b))
     return out
 

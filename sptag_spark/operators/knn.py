@@ -588,6 +588,46 @@ def ivf_build(
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def probe_pruned_topk(
+    spark,
+    path: str,
+    probes: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    predicate=None,
+) -> DataFrame:
+    """Shared persisted-index probe tail (used by flat ivf_probe and
+    bkt.ivf_probe_hierarchical): materialize the small (query_id, bucket)
+    probe frame ONCE on the driver — feeding the lazy frame to both the
+    distinct-bucket collect and the broadcast join would run the probe
+    kernel twice — then a PARTITION-PRUNED postings scan + exact
+    quantized-cosine top-k.
+
+    `predicate` (Column or SQL string over posting columns) composes
+    filtered ANN with the index: it lands in the SAME pruned scan as a
+    pushed filter, below the scoring join — the reference's
+    SearchIndexWithFilter over SPANN postings (VectorIndex.h:59)."""
+    probe_rows = probes.collect()
+    buckets = sorted({r["bucket"] for r in probe_rows})
+    probes_local = spark.createDataFrame(probe_rows, schema=probes.schema)
+    postings = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets)
+    )
+    if predicate is not None:
+        postings = postings.filter(predicate)
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    candidates = (
+        postings.join(F.broadcast(probes_local), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(qvec), "query_id")
+    )
+    return _score_candidates(candidates, k, id_col, vec_col)
+
+
 def ivf_probe(
     spark,
     path: str,
@@ -599,34 +639,13 @@ def ivf_probe(
     predicate=None,
 ) -> DataFrame:
     """Probe a persisted IVF index: nprobe bucket ids per query via the
-    centroid kernel, then a PARTITION-PRUNED scan of exactly those
-    posting partitions (the driver-side bucket list is bounded by
-    n_centroids — tiny — and is the standard static-pruning idiom; the
-    corpus itself is never touched outside the probed buckets).
-
-    `predicate` (Column or SQL string over posting columns) composes
-    filtered ANN with the index: it lands in the SAME pruned scan as a
-    pushed filter, below the scoring join — the reference's
-    SearchIndexWithFilter over SPANN postings (VectorIndex.h:59)."""
+    centroid kernel, then the shared partition-pruned scoring tail
+    (see probe_pruned_topk; the driver-side bucket list is bounded by
+    n_centroids — tiny — and is the standard static-pruning idiom)."""
     centroids = spark.read.parquet(f"{path}/centroids")
     probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col)
-    buckets = sorted(
-        r["bucket"] for r in probes.select("bucket").distinct().collect()
-    )
-    postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("bucket").isin(buckets)
-    )
-    if predicate is not None:
-        postings = postings.filter(predicate)
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    candidates = (
-        postings.join(F.broadcast(probes), "bucket")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .join(F.broadcast(qvec), "query_id")
-    )
-    return _score_candidates(candidates, k, id_col, vec_col)
+    return probe_pruned_topk(spark, path, probes, queries, k,
+                             id_col, vec_col, predicate)
 
 
 def ivf_topk(

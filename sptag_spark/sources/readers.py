@@ -193,11 +193,18 @@ def read_b64_vectors(
         StructField("vector", ArrayType(_SPARK_ELEM[value_type])),
     ])
 
-    lines = spark.read.text(path)
+    # blank lines are dropped; a NON-blank line without a payload column
+    # raises with the offending metadata instead of letting
+    # np.frombuffer(None) kill the task with an opaque traceback
+    lines = spark.read.text(path).filter(
+        F.length(F.trim(F.col("value"))) > 0
+    )
     tab = F.split(F.col("value"), "\t", 2)
+    # F.get (not getItem): a line without a tab must surface as a NULL
+    # payload for the named error below, not an ANSI array-index crash
     decoded = lines.select(
-        tab.getItem(0).alias("metadata"),
-        F.unbase64(tab.getItem(1)).alias("_raw"),
+        F.get(tab, 0).alias("metadata"),
+        F.unbase64(F.get(tab, 1)).alias("_raw"),
     )
 
     def unpack(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -205,12 +212,18 @@ def read_b64_vectors(
             raw = batch.column("_raw")
             if isinstance(raw, pa.ChunkedArray):
                 raw = raw.combine_chunks()
-            vecs = [
-                np.frombuffer(buf.as_py(), dtype=np_t)
-                for buf in raw
-            ]
+            metas = batch.column("metadata")
+            vecs = []
+            for meta, buf in zip(metas, raw):
+                b = buf.as_py()
+                if b is None:
+                    raise ValueError(
+                        f"b64 vector line without a payload column: "
+                        f"metadata={meta.as_py()!r}"
+                    )
+                vecs.append(np.frombuffer(b, dtype=np_t))
             yield pa.RecordBatch.from_arrays(
-                [batch.column("metadata"),
+                [metas,
                  pa.array([v.tolist() for v in vecs],
                           pa.list_(arrow_t))],
                 names=["metadata", "vector"],

@@ -142,7 +142,14 @@ class SnapshotTable:
         u = aligned[0]
         for p in aligned[1:]:
             u = u.unionByName(p)
-        w = Window.partitionBy(*keys).orderBy(F.col("__v").desc())
+        # content-hash tiebreak: if one snapshot carries a key twice the
+        # winner is deterministic (identical rows are interchangeable) —
+        # version alone would pick by shuffle order (CLAUDE.md rule 1).
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("__v").desc(),
+            F.xxhash64(*[F.col(c) for c, _ in (data_cols or [])]).desc()
+            if data_cols else F.lit(0),
+        )
         return (
             u.withColumn("__rn", F.row_number().over(w))
             .filter((F.col("__rn") == 1) & (F.col("__del") == 0))

@@ -234,3 +234,26 @@ def test_salted_carry_across_empty_chunks(spark):
     for r in out:
         want = 43.0 if r["ts"] >= t0 + dt.timedelta(hours=150) else 42.0
         assert r["v"] == want, (r["event_id"], r["v"])
+
+
+def test_null_ts_data_rows_never_match(spark):
+    """A data row with NULL ts can never qualify (ts <= asof_ts is never
+    true for NULL) — consistent across every strategy, including the
+    salted carry path."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    probe = spark.createDataFrame(
+        [(i, 0, t0 + dt.timedelta(hours=i)) for i in range(120)],
+        ["event_id", "k", "ts"])
+    data = spark.createDataFrame(
+        [(0, None, 666.0), (0, t0 - dt.timedelta(seconds=1), 1.0)],
+        "k long, ts timestamp, v double")
+    for strat in STRATEGIES:
+        out = asof_join(probe, data, on="k", probe_ts="ts", data_ts="ts",
+                        payload=["v"], **(
+                            dict(strategy=strat, target_rows_per_key=50,
+                                 n_chunks=4) if strat == "salted"
+                            else dict(strategy=strat))).collect()
+        assert all(r["v"] == 1.0 for r in out), strat
+        assert all(r["matched_ts"] is not None for r in out), strat

@@ -119,3 +119,23 @@ def test_auto_max_df_formula(docs):
     import math
     n = docs.count()
     assert auto_max_df(docs) == max(500, math.ceil(0.005 * n))
+
+
+def test_minhash_params_never_overflow_int64():
+    """Every (a, b) pair must keep a*x + b inside int64 for the full
+    32-bit base-hash range, for any reasonable num_hashes (31-bit a's
+    overflowed past h=32 under ANSI mode)."""
+    from sptag_spark.operators.dedup import _mh_params
+
+    xmax = (1 << 32) - 1
+    for a, b in _mh_params(256):
+        assert a % 2 == 1 and a < (1 << 30)
+        assert a * xmax + b < (1 << 63)
+
+
+def test_minhash_large_num_hashes_runs(docs):
+    from sptag_spark.operators.dedup import minhash_signature
+
+    sig = minhash_signature(docs.limit(5), num_hashes=48).collect()
+    assert all(len(r["sig"]) == 48 for r in sig)
+    assert all(all(v >= 0 for v in r["sig"]) for r in sig)

@@ -184,3 +184,14 @@ def test_real_decoder_through_spark_pipeline(spark):
         w = wav.astype(np.float64)
         assert afeats[i]["rms"] == float(np.sqrt((w * w).mean()))
         assert afeats[i]["n_samples"] == 800
+
+
+def test_truncated_pnm_raises_instead_of_hanging():
+    import pytest as _pytest
+
+    from sptag_spark.functions.multimodal import decode_image_real
+
+    for bad in (b"P6 1", b"P6\n2 2\n255\nab", b"P6\n# comment with no newline",
+                b"P6\nx y\n255\n"):
+        with _pytest.raises(ValueError):
+            decode_image_real(bad, {})

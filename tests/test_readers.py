@@ -114,3 +114,22 @@ def test_b64_vectors_round_trip(spark, tmp_path):
             read_b64_vectors(spark, p2, "int16").collect()}
     for i in range(7):
         assert got2[str(i)] == imat[i].tolist()
+
+
+def test_b64_reader_blank_and_malformed_lines(spark, tmp_path):
+    """Blank lines are dropped; a non-blank line without a payload column
+    fails loudly, naming the metadata."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sptag_spark.sources.readers import read_b64_vectors, write_b64_vectors
+
+    p = str(tmp_path / "v.txt")
+    write_b64_vectors(["a", "b"], np.ones((2, 3), dtype=np.float32), p)
+    with open(p, "a") as f:
+        f.write("\n   \n")                 # blank lines: dropped
+    assert read_b64_vectors(spark, p).count() == 2
+    with open(p, "a") as f:
+        f.write("orphan_line_no_tab\n")    # malformed: loud failure
+    with _pytest.raises(Exception, match="orphan_line_no_tab"):
+        read_b64_vectors(spark, p).count()
