@@ -1121,6 +1121,196 @@ FROM documents GROUP BY ROLLUP(source, lang)
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-preparation operators (operators/corpus.py): decontamination,
+# sequence packing (windowed per-shard + blocked-cumsum global), mixture
+# sampling/weighting, repetition stats.
+# ---------------------------------------------------------------------------
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the eval set is the deterministic
+    doc_id % 20 == 0 slice; every remaining training doc is scored by
+    3-gram overlap against it (broadcast semi-join of the small benchmark
+    shingle set — the corpus itself never shuffles)."""
+    from sptag_spark.operators.corpus import contamination_report
+
+    docs = _documents(spark, sf_dir)
+    return contamination_report(
+        docs.filter("doc_id % 20 <> 0"), docs.filter("doc_id % 20 = 0"), n=3
+    )
+
+
+_DECONTAMINATE_ORACLE = _SHINGLES_CTE + """,
+ce AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sh1
+       FROM s WHERE doc_id % 20 <> 0),
+be AS (SELECT DISTINCT doc_id AS bid, unnest(sh) AS sh1
+       FROM s WHERE doc_id % 20 = 0),
+hit AS (SELECT ce.doc_id,
+               count(DISTINCT ce.sh1) AS n_hit,
+               count(DISTINCT be.bid) AS n_bench_docs
+        FROM ce JOIN be USING (sh1) GROUP BY 1)
+SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_sh,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(h.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+       CAST(coalesce(h.n_hit, 0) AS DOUBLE) / len(s.sh) AS contamination,
+       CAST(coalesce(h.n_hit, 0) > 0 AS INT) AS is_contaminated
+FROM s LEFT JOIN hit h USING (doc_id)
+WHERE s.doc_id % 20 <> 0
+"""
+
+
+_PACK_TOKS_CTE = """
+WITH t AS (SELECT doc_id, source,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks
+      FROM documents)
+"""
+
+_PACK_TAIL = """
+SELECT {grp} doc_id, CAST(e.chunk_id AS BIGINT) AS chunk_id,
+       CAST(greatest(e.chunk_id*64 - strt, 0) AS BIGINT) AS tok_begin,
+       CAST(least((e.chunk_id+1)*64 - strt, toks) AS BIGINT) AS tok_end,
+       CAST(greatest(strt - e.chunk_id*64, 0) AS BIGINT) AS pos_in_chunk
+FROM e
+"""
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing, sharded by source (windows
+    parallelize across shards; each doc→chunk span is exact integer
+    math)."""
+    from sptag_spark.operators.corpus import pack_chunks
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", "source",
+        F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_chunks(docs, capacity=64)
+
+
+_PACK_ORACLE = _PACK_TOKS_CTE + """,
+o AS (SELECT doc_id, source, toks,
+        CAST(sum(toks) OVER (PARTITION BY source ORDER BY doc_id) - toks
+          AS BIGINT) AS strt
+      FROM t WHERE toks >= 1),
+e AS (SELECT doc_id, source, toks, strt,
+        unnest(generate_series(strt // 64, (strt + toks - 1) // 64))
+          AS chunk_id
+      FROM o)
+""" + _PACK_TAIL.format(grp="source, ")
+
+
+def _q_pack_sequences_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One global token stream packed via the two-phase BLOCKED cumsum
+    (no single-partition window anywhere); the oracle is the naive global
+    window — proving the distributed scan is value-identical to the
+    sequential semantics."""
+    from sptag_spark.operators.corpus import pack_chunks_global
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_chunks_global(docs, capacity=64, block_width=100)
+
+
+_PACK_GLOBAL_ORACLE = _PACK_TOKS_CTE + """,
+o AS (SELECT doc_id, toks,
+        CAST(sum(toks) OVER (ORDER BY doc_id) - toks AS BIGINT) AS strt
+      FROM t WHERE toks >= 1),
+e AS (SELECT doc_id, toks, strt,
+        unnest(generate_series(strt // 64, (strt + toks - 1) // 64))
+          AS chunk_id
+      FROM o)
+""" + _PACK_TAIL.format(grp="")
+
+
+_MIX_KEY_SQL = ("(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), "
+                "1, 8))::BIGINT % 1000)")
+_MIX_RATE_SQL = ("CASE source WHEN 'src0' THEN 700 WHEN 'src1' THEN 300 "
+                 "WHEN 'src2' THEN 0 ELSE 100 END")
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based mixture sampling: per-source keep rates
+    (per-mille), zero-shuffle map-side filter, reproducible across
+    engines and retries (md5 key, not rand())."""
+    from sptag_spark.operators.corpus import stratified_sample
+
+    docs = _documents(spark, sf_dir)
+    return stratified_sample(
+        docs, {"src0": 700, "src1": 300, "src2": 0}, default_rate=100
+    )
+
+
+_STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT *, {_MIX_KEY_SQL} AS sample_key,
+       CAST({_MIX_RATE_SQL} AS BIGINT) AS sample_rate
+FROM documents WHERE {_MIX_KEY_SQL} < {_MIX_RATE_SQL}
+"""
+
+_MIX_W_SQL = ("CASE source WHEN 'src0' THEN 2300 WHEN 'src1' THEN 1000 "
+              "WHEN 'src2' THEN 500 ELSE 0 END")
+
+
+def _q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting with UPsampling (epochs-per-source): weight
+    2300 = every doc twice plus a 30% chance of a third copy; 1000 =
+    identity; 500 = half. Copies are generated map-side
+    (explode(sequence)), no shuffle."""
+    from sptag_spark.operators.corpus import weighted_mix
+
+    docs = _documents(spark, sf_dir)
+    return weighted_mix(docs, {"src0": 2300, "src1": 1000, "src2": 500})
+
+
+_WEIGHTED_MIX_ORACLE = f"""
+WITH w AS (SELECT *, CAST({_MIX_W_SQL} AS BIGINT) AS wt,
+                  {_MIX_KEY_SQL} AS k
+           FROM documents),
+c AS (SELECT *, CAST(wt // 1000
+             + CASE WHEN k < wt % 1000 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_copies
+      FROM w)
+SELECT doc_id, text, lang, source, n_chars,
+       CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS copy_idx
+FROM c WHERE n_copies >= 1
+"""
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: share of each doc covered by its
+    most frequent word bigram (lexicographic-smallest tiebreak)."""
+    from sptag_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir))
+
+
+_REPETITION_ORACLE = """
+WITH t AS (SELECT doc_id, trim(text) AS txt,
+                  string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+bg AS (SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])
+           ELSE [txt] END AS bgs
+       FROM t),
+e AS (SELECT doc_id, unnest(bgs) AS bg FROM bg),
+c AS (SELECT doc_id, bg, count(*) AS cnt FROM e GROUP BY 1, 2),
+r AS (SELECT doc_id, bg, cnt,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY cnt DESC, bg ASC) AS rn,
+        sum(cnt) OVER (PARTITION BY doc_id) AS n_bigrams
+      FROM c)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       bg AS top_bigram, CAST(cnt AS BIGINT) AS top_count,
+       CAST(cnt AS DOUBLE) / n_bigrams AS rep_ratio
+FROM r WHERE rn = 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_join_union": _q_asof("union"),
@@ -1159,6 +1349,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats_salted": _q_source_stats_salted,
         "corpus_stats_rollup": _q_corpus_rollup,
         "corpus_stats_cube": _q_corpus_cube,
+        "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
+        "pack_sequences_global": _q_pack_sequences_global,
+        "stratified_sample": _q_stratified_sample,
+        "weighted_mix": _q_weighted_mix,
+        "repetition_stats": _q_repetition_stats,
     }
 
 
@@ -1200,4 +1396,10 @@ def oracle_sql() -> dict[str, str]:
         "source_stats_salted": _SOURCE_STATS_SALTED_ORACLE,
         "corpus_stats_rollup": _CORPUS_ROLLUP_ORACLE,
         "corpus_stats_cube": _CORPUS_CUBE_ORACLE,
+        "decontaminate": _DECONTAMINATE_ORACLE,
+        "pack_sequences": _PACK_ORACLE,
+        "pack_sequences_global": _PACK_GLOBAL_ORACLE,
+        "stratified_sample": _STRATIFIED_SAMPLE_ORACLE,
+        "weighted_mix": _WEIGHTED_MIX_ORACLE,
+        "repetition_stats": _REPETITION_ORACLE,
     }
