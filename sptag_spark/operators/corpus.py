@@ -73,17 +73,22 @@ def contamination_report(
     the per-doc aggregation of hit rows (a small fraction of the corpus).
     The corpus itself is never re-partitioned.
     """
+    # explode_outer everywhere a Generate consumes an expensive generator:
+    # plain explode triggers InferFiltersFromGenerate, which re-inlines the
+    # whole shingle expression into a pre-Generate filter (2x the regex
+    # work per row). word_shingles always yields >= 1 element, so outer
+    # semantics are identical.
     c_sh = corpus.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_shingles"),
     ).select(
         "_id",
         F.size("_shingles").alias("_n_sh"),
-        F.explode("_shingles").alias("_sh"),
+        F.explode_outer("_shingles").alias("_sh"),
     )
     b_sh = benchmark.select(
         F.col(bench_id_col).alias("_bid"),
-        F.explode(word_shingles(F.col(bench_text_col), n)).alias("_sh"),
+        F.explode_outer(word_shingles(F.col(bench_text_col), n)).alias("_sh"),
     ).distinct()
     hits = (
         c_sh.join(F.broadcast(b_sh), "_sh")
@@ -383,9 +388,11 @@ def repetition_stats(
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array(F.trim(F.col(text_col))))
+    # explode_outer: see contamination_report — avoids the inferred
+    # pre-Generate filter re-evaluating the zip_with bigram expression
     ex = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(bigrams).alias("_bg"),
+        F.explode_outer(bigrams).alias("_bg"),
     )
     counts = ex.groupBy("_id", "_bg").agg(F.count(F.lit(1)).alias("_c"))
     w = Window.partitionBy("_id").orderBy(

@@ -90,23 +90,55 @@ def exact_dedup(
 def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
 ) -> DataFrame:
-    sh = _ensure_parallel(df).select(
+    """Exploded (doc, shingle) rows with the int64 join surrogate `_h`,
+    hash-repartitioned on `_h`.
+
+    The repartition is THE load-bearing line: every downstream consumer —
+    both sides of the Jaccard self-join AND the stop-shingle frequency
+    aggregation — hangs off this one Exchange, so Spark's ReuseExchange
+    turns them all into ReusedExchange reads and the shingle pipeline
+    (normalize regexes + zip_with + explode) executes exactly ONCE per
+    corpus scan instead of four times. It also replaces the round-robin
+    repartition this path needed anyway for small-file parallelism, and
+    pre-clusters by the self-join/aggregation key so neither adds its own
+    shuffle."""
+    spark = df.sparkSession
+    parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    # explode_OUTER, not explode: InferFiltersFromGenerate rewrites a
+    # plain explode into Filter(size(gen)>0 AND isnotnull(gen)) + Generate,
+    # re-inlining the whole shingle expression into the filter — the
+    # normalize regexes would run TWICE per row. word_shingles always
+    # yields >= 1 element, so outer semantics are identical except for
+    # NULL text rows, which the isnotnull(_sh) filter (evaluated on the
+    # generated column, above the Generate) removes as before.
+    sh = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_shingles"),
     ).select(
         "_id",
         F.size("_shingles").alias("_n_sh"),
-        F.explode("_shingles").alias("_sh"),
-    )
+        F.explode_outer("_shingles").alias("_sh"),
+    ).filter(F.col("_sh").isNotNull()) \
+        .withColumn("_h", F.xxhash64("_sh")).repartition(parts, "_h")
     if max_df is not None:
-        # Broadcast the STOP set, not the keep set: the keep side is
-        # ~the whole distinct-shingle vocabulary (unbounded — broadcasting
-        # it would OOM the driver at corpus scale), while the stop side is
-        # bounded by total_shingle_rows / max_df keys BY CONSTRUCTION
-        # (each stop shingle accounts for > max_df rows).
-        freq = sh.groupBy("_sh").agg(F.count(F.lit(1)).alias("_df"))
-        stop = freq.filter(F.col("_df") > max_df).select("_sh")
-        sh = sh.join(F.broadcast(stop), "_sh", "left_anti")
+        # Doc-frequency cap as a WINDOW over the existing _h partitioning:
+        # all rows of a shingle share its hash, so count() over
+        # (_h, _sh) is the exact global doc frequency — computed with a
+        # local sort only (no second corpus scan, no frequency shuffle,
+        # no broadcast). An earlier shape (groupBy → stop set →
+        # broadcast anti-join) column-pruned its branch differently and
+        # defeated exchange reuse, re-running the shingle pipeline.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_h", "_sh")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
     return sh
 
 
@@ -152,8 +184,7 @@ def jaccard_pairs(
     # The PRE-cap set sizes (_n_sh) ride through the join and come out of
     # the group with any_value semantics — joining a separate sizes frame
     # back would re-evaluate the shingle expressions twice more.
-    sh = _exploded_shingles(df, id_col, text_col, n, max_df) \
-        .withColumn("_h", F.xxhash64("_sh"))
+    sh = _exploded_shingles(df, id_col, text_col, n, max_df)
     a, b = sh.alias("a"), sh.alias("b")
     out = (
         a.join(b, (F.col("a._h") == F.col("b._h"))
