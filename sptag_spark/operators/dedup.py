@@ -237,6 +237,7 @@ def minhash_signature(
     text_col: str = "text",
     num_hashes: int = 12,
     n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: ONE md5 per shingle (base hash x =
     first 8 md5 hex chars as int), then num_hashes exact-integer
@@ -244,14 +245,19 @@ def minhash_signature(
     a_i < 2^31 and x < 2^32, so every product stays inside int64 and
     both engines compute it exactly. ~10x less hashing than num_hashes
     seeded md5s per shingle; the md5 base keeps the family engine-
-    neutral for the oracle."""
+    neutral for the oracle.
+
+    `shingled` (columns `_id`, `_shingles`) lets a caller that needs the
+    shingle arrays elsewhere too (jaccard_pairs_lsh's verify join) hand
+    in one shared frame so the pipeline runs once."""
     # Materialize shingles AND the base-hash array in their own
     # projections: each is referenced by num_hashes sibling expressions,
     # and CollapseProject would otherwise re-inline the md5 per hash.
-    shingled = _ensure_parallel(df).select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n).alias("_shingles"),
-    )
+    if shingled is None:
+        shingled = _ensure_parallel(df).select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), n).alias("_shingles"),
+        )
     based = shingled.select(
         "_id",
         F.transform(
@@ -280,6 +286,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     n: int = 3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band.
 
@@ -289,7 +296,8 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signature(df, id_col, text_col, num_hashes, n)
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, n,
+                             shingled=shingled)
     banded = sigs.select(
         "_id",
         F.explode(
@@ -341,11 +349,24 @@ def jaccard_pairs_lsh(
     Output schema matches jaccard_pairs: (id_a, id_b, n_a, n_b,
     n_common, jaccard).
     """
-    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, n)
-    sh = _ensure_parallel(df).select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n).alias("_sh"),
+    # ONE shingle evaluation for all three consumers (the MinHash
+    # signatures and both verify-join sides): compute the arrays, then
+    # hash-repartition on _id — the signature path and the two verify
+    # frames all read this single Exchange (ReusedExchange), instead of
+    # each re-running the normalize/zip_with pipeline over the corpus.
+    spark = df.sparkSession
+    parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
     )
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_shingles"),
+    ).repartition(parts, "_id")
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes, bands, n, shingled=shingled
+    )
+    sh = shingled.withColumnRenamed("_shingles", "_sh")
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (
