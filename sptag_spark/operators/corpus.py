@@ -73,18 +73,24 @@ def contamination_report(
     the per-doc aggregation of hit rows (a small fraction of the corpus).
     The corpus itself is never re-partitioned.
     """
-    # explode_outer everywhere a Generate consumes an expensive generator:
-    # plain explode triggers InferFiltersFromGenerate, which re-inlines the
-    # whole shingle expression into a pre-Generate filter (2x the regex
-    # work per row). word_shingles always yields >= 1 element, so outer
-    # semantics are identical.
-    c_sh = corpus.select(
+    # ONE shingle evaluation for both consumers (the exploded hit join
+    # and the per-doc shingle counts): compute the arrays, repartition on
+    # _id, and let the two branches read the same Exchange
+    # (ReusedExchange). explode_OUTER, not explode: plain explode
+    # triggers InferFiltersFromGenerate, which re-inlines the generator
+    # into a pre-Generate filter (2x the regex work per row);
+    # word_shingles always yields >= 1 element so outer is identical.
+    spark = corpus.sparkSession
+    parts = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    shingled = corpus.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_shingles"),
-    ).select(
-        "_id",
-        F.size("_shingles").alias("_n_sh"),
-        F.explode_outer("_shingles").alias("_sh"),
+    ).repartition(parts, "_id")
+    c_sh = shingled.select(
+        "_id", F.explode_outer("_shingles").alias("_sh")
     )
     b_sh = benchmark.select(
         F.col(bench_id_col).alias("_bid"),
@@ -94,15 +100,12 @@ def contamination_report(
         c_sh.join(F.broadcast(b_sh), "_sh")
         .groupBy("_id")
         .agg(
-            F.count(F.lit(1)).alias("_raw_hits"),
             F.countDistinct("_sh").alias("n_hit"),
             F.countDistinct("_bid").alias("n_bench_docs"),
         )
-        .drop("_raw_hits")
     )
-    base = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.size(word_shingles(F.col(text_col), n)).alias("n_sh"),
+    base = shingled.select(
+        "_id", F.size("_shingles").alias("n_sh")
     )
     out = (
         base.join(hits, "_id", "left")

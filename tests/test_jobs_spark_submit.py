@@ -114,3 +114,58 @@ def test_spark_submit_dedup_corpus(tmp_path):
                  "--out", os.path.join(tmp, "kept_exact"),
                  "--method", "exact")
     assert m2["docs_kept"] <= m["docs_in"]
+
+
+def test_spark_submit_prepare_corpus(tmp_path):
+    """The full prepare pipeline (quality -> decontaminate -> dedup ->
+    mix -> pack) through the real spark-submit binary: stage counts are
+    monotone, upweighted sources duplicate, spans tile the capacity."""
+    import duckdb
+
+    tmp = str(tmp_path)
+    zpath = _zip_package(tmp)
+    out = os.path.join(tmp, "prepared")
+    src = "/root/testdata/sf0.01/documents.parquet"
+    bench = os.path.join(tmp, "bench.parquet")
+    duckdb.sql(
+        f"COPY (SELECT * FROM '{src}' WHERE doc_id % 50 = 0) TO "
+        f"'{bench}' (FORMAT parquet)"
+    )
+
+    m = _submit(zpath, "prepare_corpus.py", "--in", src, "--out", out,
+                "--benchmark", bench, "--min-quality", "0.4",
+                "--max-rep-ratio", "0.3", "--dedup", "jaccard_lsh",
+                "--mix", "src0=1500", "--default-weight", "1000",
+                "--capacity", "64")
+    # monotone survivor funnel until the mix stage
+    assert (m["in"] >= m["after_quality"] >= m["after_decontaminate"]
+            >= m["after_dedup"])
+    assert m["after_dedup"] > 0
+    # upsampling src0 at 1500 per-mille grows the mixed corpus
+    assert m["after_mix"] >= m["after_dedup"]
+    assert m["chunks"] > 0
+
+    docs = duckdb.sql(
+        f"SELECT * FROM '{out}/documents/*.parquet'").df()
+    spans = duckdb.sql(f"SELECT * FROM '{out}/spans/*.parquet'").df()
+    assert len(docs) == m["after_mix"]
+    # every benchmark doc_id is gone (decontamination removes overlap
+    # sources; the planted bench slice shares its own shingles exactly)
+    bench_ids = set(duckdb.sql(
+        f"SELECT doc_id FROM '{bench}'").df()["doc_id"])
+    assert not (set(docs["doc_id"]) & bench_ids)
+    # spans tile each pack unit exactly: per pack_id, covered tokens ==
+    # n_tokens of its source row
+    got = spans.groupby("pack_id").apply(
+        lambda g: (g["tok_end"] - g["tok_begin"]).sum(),
+        include_groups=False,
+    )
+    toks = docs.assign(
+        pack_id=docs["doc_id"] * 1000 + docs["copy_idx"],
+        n_tokens=docs["text"].str.strip().str.split().str.len(),
+    ).set_index("pack_id")["n_tokens"]
+    assert all(got[pid] == toks[pid] for pid in got.index)
+    # full chunks hold exactly capacity tokens
+    fill = spans.assign(span=spans["tok_end"] - spans["tok_begin"]) \
+        .groupby(["source", "chunk_id"])["span"].sum()
+    assert fill.max() <= 64 and (fill == 64).sum() > 0

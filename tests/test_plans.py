@@ -232,3 +232,52 @@ def test_ivf_probe_with_predicate_pushes_both_filters(spark, tmp_path):
     labels = {r["vec_id"]: r for r in
               emb.filter("label = 1").select("vec_id").collect()}
     assert all(r["vec_id"] in labels for r in rows)
+
+
+def test_jaccard_single_scan_with_exchange_reuse(docs):
+    """The Jaccard self-join must evaluate the shingle pipeline ONCE:
+    after execution the adaptive plan shows exactly one parquet scan and
+    a ReusedExchange feeding the second join side; the doc-frequency cap
+    is a Window over the same Exchange (no separate frequency branch)."""
+    from sptag_spark.operators.dedup import jaccard_pairs
+
+    df = jaccard_pairs(docs, threshold=0.5)
+    df.collect()  # AQE inserts ReusedExchange at runtime
+    final = df._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "ReusedExchange" in final
+    assert "windowspecdefinition(_h" in final  # df-cap rides _h partitioning
+
+
+def test_pack_global_has_no_corpus_wide_window(docs):
+    """Blocked-cumsum packing: the only window over corpus rows is
+    partitioned by _blk (every task sees one block); the cross-block
+    offsets window runs over #blocks rows and is broadcast back."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.corpus import pack_chunks_global
+
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+        .alias("n_tokens"),
+    )
+    df = pack_chunks_global(sized, capacity=64, block_width=50)
+    plan = plan_of(df)
+    # the per-row window partitions on the block column
+    assert "windowspecdefinition(_blk" in plan
+    # offsets come back via broadcast, not a corpus-wide shuffle
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_contamination_broadcasts_benchmark(docs):
+    """The benchmark shingle set is the broadcast side; the corpus is
+    never broadcast and feeds the join streamed."""
+    from sptag_spark.operators.corpus import contamination_report
+
+    df = contamination_report(
+        docs.filter("doc_id % 10 <> 0"), docs.filter("doc_id % 10 = 0")
+    )
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan

@@ -32,6 +32,33 @@ def _ivf_probe_df(spark, emb):
     return ivf_probe(spark, path, emb.filter("vec_id < 2"), k=5, nprobe=2)
 
 
+def _jaccard(docs):
+    from sptag_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(docs, threshold=0.5)
+
+
+def _pack_global(docs):
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.corpus import pack_chunks_global
+
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_chunks_global(sized, capacity=64, block_width=50)
+
+
+def _decontaminate(docs):
+    from sptag_spark.operators.corpus import contamination_report
+
+    return contamination_report(
+        docs.filter("doc_id % 10 <> 0"), docs.filter("doc_id % 10 = 0")
+    )
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -124,6 +151,35 @@ def main() -> int:
             "broadcast probe join); bucket assignment itself is one "
             "Arrow kernel with zero Exchange and zero Window.",
             _ivf_probe_df(spark, emb),
+        ),
+        (
+            "Shingle-Jaccard pairs — single-scan self-join",
+            "ONE parquet scan: both self-join sides hang off one "
+            "hash-Exchange on the shingle surrogate _h (AQE turns the "
+            "second side into a ReusedExchange at runtime), and the "
+            "stop-shingle doc-frequency cap is a count() Window over the "
+            "same partitioning — no separate frequency scan, no "
+            "broadcast anti-join branch. explode_outer avoids the "
+            "InferFiltersFromGenerate re-inlining of the shingle "
+            "expression. Runtime reuse asserted in tests/test_plans.py.",
+            _jaccard(docs),
+        ),
+        (
+            "Global sequence packing — blocked cumulative scan",
+            "No corpus-wide window: the per-row cumsum window partitions "
+            "on _blk (each task sees one block), cross-block offsets are "
+            "a #blocks-row window broadcast back as a BroadcastHashJoin. "
+            "The chunk-span explode is map-side sequence generation.",
+            _pack_global(docs),
+        ),
+        (
+            "Benchmark decontamination",
+            "The benchmark shingle set (eval corpora — small at any "
+            "training scale) is aggregated and BROADCAST; the training "
+            "corpus streams through the hit join map-side and shuffles "
+            "only the hit rows for the per-doc aggregate. The per-doc "
+            "shingle counts reuse the corpus shingle Exchange.",
+            _decontaminate(docs),
         ),
     ]
 
