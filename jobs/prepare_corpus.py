@@ -74,6 +74,17 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     docs = spark.read.parquet(args.inp)
     counts = {"in": docs.count()}
+    # Each stage ends in persist() + count(): the count is the stage
+    # metric AND materializes the stage once — without it every later
+    # action (next stage, write, packing) would re-run the whole
+    # upstream pipeline from the raw scan.
+    cached = []
+
+    def _stage(df, name):
+        df = df.persist()
+        cached.append(df)
+        counts[name] = df.count()
+        return df
 
     # 1. quality + repetition gates
     scored = with_text_stats(docs.select("doc_id", "text")) \
@@ -87,8 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         .select("doc_id")
     )
-    docs = docs.join(keep_ids, "doc_id")
-    counts["after_quality"] = docs.count()
+    docs = _stage(docs.join(keep_ids, "doc_id"), "after_quality")
 
     # 2. decontamination
     if args.benchmark:
@@ -98,45 +108,53 @@ def main(argv: list[str] | None = None) -> int:
             .filter("is_contaminated = 1")
             .select("doc_id")
         )
-        docs = apply_deletes(docs, contaminated, ["doc_id"])
-        counts["after_decontaminate"] = docs.count()
+        docs = _stage(apply_deletes(docs, contaminated, ["doc_id"]),
+                      "after_decontaminate")
 
     # 3. dedup (keep-first)
     if args.dedup == "exact":
-        docs = exact_dedup(docs).filter("is_duplicate = 0") \
+        kept = exact_dedup(docs).filter("is_duplicate = 0") \
             .select("doc_id").join(docs, "doc_id")
     elif args.dedup == "jaccard_lsh":
         losers = jaccard_pairs_lsh(docs, threshold=args.threshold) \
             .select(F.col("id_b").alias("doc_id"))
-        docs = apply_deletes(docs, losers, ["doc_id"])
-    counts["after_dedup"] = docs.count()
+        kept = apply_deletes(docs, losers, ["doc_id"])
+    else:
+        kept = docs
+    docs = _stage(kept, "after_dedup")
 
-    # 4. mixture weighting (identity when --mix is omitted)
+    # 4. mixture weighting (identity when --mix is omitted); sources not
+    # named in --mix get --default-weight (no driver-side source scan)
     mix = _parse_mix(args.mix)
     if mix is not None:
-        sources = [r["source"] for r in
-                   docs.select("source").distinct().collect()]
-        weights = {s: mix.get(s, args.default_weight) for s in sources}
-        docs = weighted_mix(docs, weights)
+        docs = weighted_mix(docs, mix, default_weight=args.default_weight)
+        max_w = max([*mix.values(), args.default_weight])
     else:
         docs = docs.withColumn("copy_idx", F.lit(0).cast("long"))
-    counts["after_mix"] = docs.count()
+        max_w = 1000
 
     docs.write.mode("overwrite").parquet(args.out + "/documents")
+    for c in cached:
+        c.unpersist()
+    docs = spark.read.parquet(args.out + "/documents")
+    counts["after_mix"] = docs.count()
 
-    # 5. pack what survived (per source; copies are distinct pack units)
+    # 5. pack what survived (per source; copies are distinct pack units).
+    # pack_id is collision-free for any weight: the copy stride covers
+    # the largest possible copy_idx. Pack order is a hash interleave so
+    # upsampled copies of a doc land in different chunks, not adjacent
+    # slots of the same training context.
+    stride = max_w // 1000 + 2
     sized = docs.select(
         "doc_id", "source", "copy_idx",
         F.size(F.split(F.trim("text"), "\\s+")).cast("long")
         .alias("n_tokens"),
     ).withColumn(
-        # doc_id * max_copies + copy_idx keeps the pack order unique and
-        # deterministic when upsampling duplicates doc_ids
-        "pack_id", F.col("doc_id") * 1000 + F.col("copy_idx"),
-    )
+        "pack_id", F.col("doc_id") * stride + F.col("copy_idx"),
+    ).withColumn("pack_order", F.xxhash64("pack_id"))
     spans = pack_chunks(
         sized.drop("doc_id", "copy_idx"), capacity=args.capacity,
-        id_col="pack_id",
+        id_col="pack_id", order_col="pack_order",
     )
     spans.write.mode("overwrite").parquet(args.out + "/spans")
     counts["chunks"] = (

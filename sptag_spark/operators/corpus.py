@@ -76,19 +76,19 @@ def contamination_report(
     # ONE shingle evaluation for both consumers (the exploded hit join
     # and the per-doc shingle counts): compute the arrays, repartition on
     # _id, and let the two branches read the same Exchange
-    # (ReusedExchange). explode_OUTER, not explode: plain explode
-    # triggers InferFiltersFromGenerate, which re-inlines the generator
-    # into a pre-Generate filter (2x the regex work per row);
-    # word_shingles always yields >= 1 element so outer is identical.
-    spark = corpus.sparkSession
-    parts = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
-    shingled = corpus.select(
+    # (ReusedExchange). _ensure_parallel first so the shingle expressions
+    # (below the exchange, in the scan stage) parallelize on single-split
+    # inputs. explode_OUTER, not explode: plain explode triggers
+    # InferFiltersFromGenerate, which re-inlines the generator into a
+    # pre-Generate filter (2x the regex work per row); word_shingles
+    # always yields >= 1 element so outer is identical.
+    from sptag_spark.operators.dedup import _ensure_parallel
+    from sptag_spark.session import shuffle_parts
+
+    shingled = _ensure_parallel(corpus).select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_shingles"),
-    ).repartition(parts, "_id")
+    ).repartition(shuffle_parts(corpus.sparkSession), "_id")
     c_sh = shingled.select(
         "_id", F.explode_outer("_shingles").alias("_sh")
     )
@@ -326,6 +326,7 @@ def weighted_mix(
     id_col: str = "doc_id",
     denom: int = 1000,
     salt: str = "mix",
+    default_weight: int = 0,
 ) -> DataFrame:
     """Mixture weighting with UPsampling: weight w (per-mille) > denom
     means every row appears floor(w/denom) times plus one more with
@@ -339,9 +340,12 @@ def weighted_mix(
     Scale: map-side only — explode(sequence(...)) generates copies in the
     scan task; no shuffle. Duplicated rows get distinct copy_idx so a
     downstream global shuffle (e.g. pack ordering) separates them.
+
+    Sources absent from `weights` get `default_weight` (default 0 =
+    dropped — pass denom to keep them at identity).
     """
     key = _md5_key(F.col(id_col), salt, denom)
-    w: Column = F.lit(0)
+    w: Column = F.lit(int(default_weight))
     for s in sorted(weights):
         w = F.when(F.col(strata_col) == s, F.lit(int(weights[s]))) \
             .otherwise(w)

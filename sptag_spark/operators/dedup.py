@@ -91,22 +91,30 @@ def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
 ) -> DataFrame:
     """Exploded (doc, shingle) rows with the int64 join surrogate `_h`,
-    hash-repartitioned on `_h`.
+    hash-repartitioned on `(_h, _id)`.
 
     The repartition is THE load-bearing line: every downstream consumer —
     both sides of the Jaccard self-join AND the stop-shingle frequency
-    aggregation — hangs off this one Exchange, so Spark's ReuseExchange
-    turns them all into ReusedExchange reads and the shingle pipeline
-    (normalize regexes + zip_with + explode) executes exactly ONCE per
-    corpus scan instead of four times. It also replaces the round-robin
-    repartition this path needed anyway for small-file parallelism, and
-    pre-clusters by the self-join/aggregation key so neither adds its own
-    shuffle."""
-    spark = df.sparkSession
-    parts = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
+    aggregation — hangs off this one Exchange, so AQE's stage reuse turns
+    them into ReusedExchange reads and the shingle pipeline (normalize
+    regexes + zip_with + explode) executes exactly ONCE per corpus scan
+    instead of four times.
+
+    Partitioning on (_h, _id) — not _h alone — is the skew story: a stop
+    shingle's rows SPREAD across reducers by doc id, so no single task
+    ever buffers a hot shingle; the doc-frequency cap is a two-phase
+    aggregate (partial counts local to these partitions, tiny (_h,_sh)
+    merge exchange) whose stop set — bounded by rows/max_df keys BY
+    CONSTRUCTION — broadcasts back as a map-side anti-join. Stop rows
+    therefore die before the self-join's own _h exchange ever sees them.
+    (An earlier window-based cap partitioned rows by _h alone and
+    re-created exactly the hot-key pileup max_df exists to prevent.)"""
+    from sptag_spark.session import shuffle_parts
+
+    # round-robin the RAW docs first when the input arrives in fewer
+    # splits than the cluster (CLAUDE.md rule 6): the CPU-dense shingle
+    # expressions run in the scan stage, below the (_h,_id) exchange.
+    df = _ensure_parallel(df)
     # explode_OUTER, not explode: InferFiltersFromGenerate rewrites a
     # plain explode into Filter(size(gen)>0 AND isnotnull(gen)) + Generate,
     # re-inlining the whole shingle expression into the filter — the
@@ -122,23 +130,21 @@ def _exploded_shingles(
         F.size("_shingles").alias("_n_sh"),
         F.explode_outer("_shingles").alias("_sh"),
     ).filter(F.col("_sh").isNotNull()) \
-        .withColumn("_h", F.xxhash64("_sh")).repartition(parts, "_h")
+        .withColumn("_h", F.xxhash64("_sh")) \
+        .repartition(shuffle_parts(df.sparkSession), "_h", "_id")
     if max_df is not None:
-        # Doc-frequency cap as a WINDOW over the existing _h partitioning:
-        # all rows of a shingle share its hash, so count() over
-        # (_h, _sh) is the exact global doc frequency — computed with a
-        # local sort only (no second corpus scan, no frequency shuffle,
-        # no broadcast). An earlier shape (groupBy → stop set →
-        # broadcast anti-join) column-pruned its branch differently and
-        # defeated exchange reuse, re-running the shingle pipeline.
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("_h", "_sh")
-        sh = (
-            sh.withColumn("_df", F.count(F.lit(1)).over(w))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
+        # The dummy max() aggregates keep _id/_n_sh referenced in this
+        # branch: column pruning would otherwise specialize the branch's
+        # copy of the exchange to (_h,_sh) only, making it canonically
+        # different from the join sides' copy and defeating stage reuse
+        # (= a second scan + second shingle evaluation).
+        freq = sh.groupBy("_h", "_sh").agg(
+            F.count(F.lit(1)).alias("_df"),
+            F.max("_id").alias("_prune_guard_id"),
+            F.max("_n_sh").alias("_prune_guard_n"),
         )
+        stop = freq.filter(F.col("_df") > max_df).select("_sh")
+        sh = sh.join(F.broadcast(stop), "_sh", "left_anti")
     return sh
 
 
@@ -354,15 +360,15 @@ def jaccard_pairs_lsh(
     # hash-repartition on _id — the signature path and the two verify
     # frames all read this single Exchange (ReusedExchange), instead of
     # each re-running the normalize/zip_with pipeline over the corpus.
-    spark = df.sparkSession
-    parts = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
-    shingled = df.select(
+    # _ensure_parallel first: the shingle expressions evaluate below the
+    # exchange, in the scan stage (single-split small files otherwise pin
+    # one core). One row per doc — no skew concern on _id.
+    from sptag_spark.session import shuffle_parts
+
+    shingled = _ensure_parallel(df).select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_shingles"),
-    ).repartition(parts, "_id")
+    ).repartition(shuffle_parts(df.sparkSession), "_id")
     cand = minhash_lsh_pairs(
         df, id_col, text_col, num_hashes, bands, n, shingled=shingled
     )

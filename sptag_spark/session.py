@@ -69,3 +69,15 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def shuffle_parts(spark) -> int:
+    """Partition count for explicit hash repartitions: the larger of the
+    cluster's parallelism and the shuffle-partition setting. Tolerates
+    non-numeric spark.sql.shuffle.partitions (e.g. 'auto' under some
+    AQE deployments) by falling back to defaultParallelism."""
+    dp = spark.sparkContext.defaultParallelism
+    try:
+        return max(dp, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (ValueError, TypeError):
+        return dp

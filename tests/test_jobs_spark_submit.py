@@ -160,8 +160,9 @@ def test_spark_submit_prepare_corpus(tmp_path):
         lambda g: (g["tok_end"] - g["tok_begin"]).sum(),
         include_groups=False,
     )
+    # stride = max_weight//1000 + 2 (max of --mix 1500 / --default 1000)
     toks = docs.assign(
-        pack_id=docs["doc_id"] * 1000 + docs["copy_idx"],
+        pack_id=docs["doc_id"] * 3 + docs["copy_idx"],
         n_tokens=docs["text"].str.strip().str.split().str.len(),
     ).set_index("pack_id")["n_tokens"]
     assert all(got[pid] == toks[pid] for pid in got.index)

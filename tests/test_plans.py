@@ -237,8 +237,9 @@ def test_ivf_probe_with_predicate_pushes_both_filters(spark, tmp_path):
 def test_jaccard_single_scan_with_exchange_reuse(docs):
     """The Jaccard self-join must evaluate the shingle pipeline ONCE:
     after execution the adaptive plan shows exactly one parquet scan and
-    a ReusedExchange feeding the second join side; the doc-frequency cap
-    is a Window over the same Exchange (no separate frequency branch)."""
+    ReusedExchange reads everywhere else (second join side + the df-cap
+    frequency branch). The row-level exchange partitions on (_h, _id) so
+    a hot stop-shingle spreads across reducers instead of pinning one."""
     from sptag_spark.operators.dedup import jaccard_pairs
 
     df = jaccard_pairs(docs, threshold=0.5)
@@ -247,7 +248,11 @@ def test_jaccard_single_scan_with_exchange_reuse(docs):
         .split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
     assert "ReusedExchange" in final
-    assert "windowspecdefinition(_h" in final  # df-cap rides _h partitioning
+    # skew guard: the exploded rows are spread by (_h, _id), never _h only
+    assert "hashpartitioning(_h" in final
+    import re
+    row_ex = re.findall(r"hashpartitioning\(_h#\d+L, _id", final)
+    assert row_ex, "exploded-shingle exchange must partition on (_h,_id)"
 
 
 def test_pack_global_has_no_corpus_wide_window(docs):

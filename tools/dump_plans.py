@@ -153,15 +153,18 @@ def main() -> int:
             _ivf_probe_df(spark, emb),
         ),
         (
-            "Shingle-Jaccard pairs — single-scan self-join",
-            "ONE parquet scan: both self-join sides hang off one "
-            "hash-Exchange on the shingle surrogate _h (AQE turns the "
-            "second side into a ReusedExchange at runtime), and the "
-            "stop-shingle doc-frequency cap is a count() Window over the "
-            "same partitioning — no separate frequency scan, no "
-            "broadcast anti-join branch. explode_outer avoids the "
-            "InferFiltersFromGenerate re-inlining of the shingle "
-            "expression. Runtime reuse asserted in tests/test_plans.py.",
+            "Shingle-Jaccard pairs — single-scan, skew-spread self-join",
+            "ONE parquet scan: self-join sides AND the stop-shingle "
+            "frequency branch all hang off one hash-Exchange partitioned "
+            "on (_h, _id) — AQE turns every other read into a "
+            "ReusedExchange. (_h, _id), not _h alone: a hot stop-shingle "
+            "spreads across reducers by doc id instead of pinning one "
+            "task; its global count is a two-phase aggregate whose "
+            "bounded stop set broadcasts back as a map-side anti-join, "
+            "so stop rows die before the join's _h exchange. "
+            "explode_outer avoids the InferFiltersFromGenerate "
+            "re-inlining of the shingle expression. Runtime reuse + "
+            "(_h,_id) spread asserted in tests/test_plans.py.",
             _jaccard(docs),
         ),
         (
