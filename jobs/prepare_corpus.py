@@ -79,11 +79,15 @@ def main(argv: list[str] | None = None) -> int:
     # action (next stage, write, packing) would re-run the whole
     # upstream pipeline from the raw scan.
     cached = []
+    stage_sec = {}
+    last = [time.time()]
 
     def _stage(df, name):
         df = df.persist()
         cached.append(df)
         counts[name] = df.count()
+        stage_sec[name] = round(time.time() - last[0], 2)
+        last[0] = time.time()
         return df
 
     # 1. quality + repetition gates
@@ -138,6 +142,8 @@ def main(argv: list[str] | None = None) -> int:
         c.unpersist()
     docs = spark.read.parquet(args.out + "/documents")
     counts["after_mix"] = docs.count()
+    stage_sec["mix_write"] = round(time.time() - last[0], 2)
+    last[0] = time.time()
 
     # 5. pack what survived (per source; copies are distinct pack units).
     # pack_id is collision-free for any weight: the copy stride covers
@@ -162,11 +168,13 @@ def main(argv: list[str] | None = None) -> int:
         .agg(F.countDistinct("source", "chunk_id")).collect()[0][0]
     )
 
+    stage_sec["pack_write"] = round(time.time() - last[0], 2)
     elapsed = time.time() - t0
     print(json.dumps({
         "job": "prepare_corpus",
         "elapsed_sec": round(elapsed, 3),
         **counts,
+        "stage_sec": stage_sec,
         "docs_per_sec": round(counts["in"] / elapsed, 1),
     }))
     return 0

@@ -160,21 +160,39 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     unit). Documents shorter than n words yield their full text as the one
     shingle so no row drops out of the dedup universe.
 
-    Built as zip_with over shifted slices, NOT transform+element_at: inside
-    a transform lambda, element_at(split(...), i) re-evaluates the split
-    (and the normalize regexes) per element — O(len^2) per row. zip_with
-    evaluates each array child once."""
-    norm = normalize_text(text)
-    toks = F.split(norm, " ")
-    k = F.size(toks)
-    m = k - (n - 1)  # shingle count
-    acc = F.slice(toks, F.lit(1), m)
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(toks, F.lit(j + 1), m),
-            lambda a, b: F.concat_ws(" ", a, b),
+    Two structural rules keep this O(len) per row:
+    - zip_with over shifted slices, NOT transform+element_at: inside a
+      transform lambda, element_at(split(...), i) re-evaluates the split
+      (and the normalize regexes) per element — O(len^2) per row;
+    - the token array is BOUND ONCE via transform over a one-element
+      array: this whole expression tree is interpreted (zip_with is a
+      higher-order function, and no codegen/subexpression elimination
+      applies inside it), so sibling references to `split(normalize(...))`
+      from size() + three slice()s each re-ran the normalize regexes —
+      measured 42 s -> 10 s on 100k docs / 16 cores from this binding
+      alone. A lambda variable is an attribute reference — free. The
+      degenerate-row norm is recovered as concat_ws(' ', toks), identical
+      to the normalized text because normalize collapses/trims
+      whitespace. NOTE this trick pays ONLY inside interpreted HOF trees;
+      wrapping plain codegen'd projections (e.g. the text-stats columns)
+      in transform() FORCES them interpreted and is a large regression —
+      measured 40x on with_text_stats."""
+    toks_once = F.split(normalize_text(text), " ")
+
+    def build(toks: Column) -> Column:
+        k = F.size(toks)
+        m = k - (n - 1)  # shingle count
+        acc = F.slice(toks, F.lit(1), m)
+        for j in range(1, n):
+            acc = F.zip_with(
+                acc, F.slice(toks, F.lit(j + 1), m),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        return F.array_distinct(
+            F.when(k >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
         )
-    return F.array_distinct(F.when(k >= n, acc).otherwise(F.array(norm)))
+
+    return F.get(F.transform(F.array(toks_once), build), 0)
 
 
 def doc_fingerprint(text: Column) -> Column:

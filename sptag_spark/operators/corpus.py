@@ -402,22 +402,20 @@ def repetition_stats(
         F.explode_outer(bigrams).alias("_bg"),
     )
     counts = ex.groupBy("_id", "_bg").agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.partitionBy("_id").orderBy(
-        F.col("_c").desc(), F.col("_bg").asc()
+    # argmax with min-bigram tiebreak as ONE aggregation: min over
+    # struct(-count, bigram) is lexicographic — highest count first,
+    # lexicographically smallest bigram on ties. Same values as the
+    # oracle's row_number() window, one shuffle + sort + join cheaper.
+    top = counts.groupBy("_id").agg(
+        F.min(F.struct((-F.col("_c")).alias("_negc"),
+                       F.col("_bg"))).alias("_top"),
+        F.sum("_c").alias("n_bigrams"),
     )
-    top = (
-        counts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-    )
-    totals = counts.groupBy("_id").agg(F.sum("_c").alias("n_bigrams"))
-    return (
-        totals.join(top, "_id")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("n_bigrams").cast("long").alias("n_bigrams"),
-            F.col("_bg").alias("top_bigram"),
-            F.col("_c").cast("long").alias("top_count"),
-            (F.col("_c").cast("double") / F.col("n_bigrams"))
-            .alias("rep_ratio"),
-        )
+    return top.select(
+        F.col("_id").alias(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("_top._bg").alias("top_bigram"),
+        (-F.col("_top._negc")).cast("long").alias("top_count"),
+        ((-F.col("_top._negc")).cast("double") / F.col("n_bigrams"))
+        .alias("rep_ratio"),
     )
