@@ -1311,6 +1311,26 @@ FROM r WHERE rn = 1
 """
 
 
+def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-50 3-grams by document frequency (vocabulary/Zipf
+    audit; seeds stop-phrase lists). Map-side-combinable count +
+    TakeOrdered — never a corpus-wide window."""
+    from sptag_spark.operators.corpus import top_ngrams
+
+    return top_ngrams(_documents(spark, sf_dir), n=3, k=50)
+
+
+_TOP_NGRAMS_ORACLE = _SHINGLES_CTE + """,
+e AS (SELECT unnest(sh) AS ngram FROM s),
+c AS (SELECT ngram, count(*) AS df_docs FROM e GROUP BY 1),
+r AS (SELECT ngram, CAST(df_docs AS BIGINT) AS df_docs,
+        CAST(row_number() OVER (ORDER BY df_docs DESC, ngram ASC) AS INT)
+          AS rank
+      FROM c)
+SELECT ngram, df_docs, rank FROM r WHERE rank <= 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_join_union": _q_asof("union"),
@@ -1355,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "weighted_mix": _q_weighted_mix,
         "repetition_stats": _q_repetition_stats,
+        "corpus_top_ngrams": _q_top_ngrams,
     }
 
 
@@ -1402,4 +1423,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SAMPLE_ORACLE,
         "weighted_mix": _WEIGHTED_MIX_ORACLE,
         "repetition_stats": _REPETITION_ORACLE,
+        "corpus_top_ngrams": _TOP_NGRAMS_ORACLE,
     }

@@ -419,3 +419,59 @@ def repetition_stats(
         ((-F.col("_top._negc")).cast("double") / F.col("n_bigrams"))
         .alias("rep_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram analytics
+# ---------------------------------------------------------------------------
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    per_group: str | None = None,
+) -> DataFrame:
+    """Corpus-wide top-k n-grams by document frequency (the vocabulary /
+    Zipf analytics pass of a corpus audit; also what seeds a stop-phrase
+    list for the dedup df-cap). Returns (ngram, df_docs, rank) — or per
+    `per_group` when given — with rank ties broken lexicographically.
+
+    Scale: explode + one map-side-combinable aggregate keyed by the
+    shingle (partial counts absorb the corpus before the shuffle), then
+    TakeOrdered for the global top-k (never a single-partition window).
+    """
+    from sptag_spark.operators.dedup import _ensure_parallel
+
+    sh = _ensure_parallel(df).select(
+        *([per_group] if per_group else []),
+        F.explode_outer(
+            word_shingles(F.col(text_col), n)
+        ).alias("ngram"),
+    )
+    gcols = [per_group] if per_group else []
+    counts = sh.groupBy(*gcols, "ngram").agg(
+        F.count(F.lit(1)).alias("df_docs")
+    )
+    if per_group:
+        from sptag_spark.operators.topk import top_k_per_group
+
+        return top_k_per_group(
+            counts, [per_group],
+            order_by=[F.col("df_docs").desc(), F.col("ngram").asc()], k=k,
+        )
+    out = (
+        counts.orderBy(F.col("df_docs").desc(), F.col("ngram").asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                # post-limit window over k rows — driver-scale by design
+                Window.partitionBy(F.lit(0)).orderBy(
+                    F.col("df_docs").desc(), F.col("ngram").asc()
+                )
+            ).cast("int"),
+        )
+    )
+    return out

@@ -243,3 +243,74 @@ def test_repetition_detects_repeats(spark):
     out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
     assert out[1]["rep_ratio"] > 0.4
     assert out[2]["top_count"] == 1
+
+
+# ---------------------------------------------------------------------------
+# top n-grams
+# ---------------------------------------------------------------------------
+
+def test_top_ngrams_oracle(spark, docs, ddb):
+    from sptag_spark.operators.corpus import top_ngrams
+
+    got = top_ngrams(docs, n=3, k=20)
+    oracle = ddb.execute("""
+        WITH n AS (SELECT doc_id,
+            trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+          FROM documents),
+        tk AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM n),
+        s AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks)-1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [norm] END) AS sh
+              FROM tk),
+        e AS (SELECT unnest(sh) AS ngram FROM s),
+        c AS (SELECT ngram, count(*) AS df_docs FROM e GROUP BY 1),
+        r AS (SELECT ngram, CAST(df_docs AS BIGINT) AS df_docs,
+                CAST(row_number() OVER (ORDER BY df_docs DESC, ngram ASC)
+                  AS INT) AS rank
+              FROM c)
+        SELECT ngram, df_docs, rank FROM r WHERE rank <= 20
+    """).df()
+    assert_df_equal(got, oracle)
+
+
+def test_top_ngrams_per_group(spark, docs):
+    from sptag_spark.operators.corpus import top_ngrams
+
+    out = top_ngrams(docs, n=2, k=5, per_group="source").toPandas()
+    assert (out.groupby("source")["rank"].max() <= 5).all()
+    assert (out.groupby("source")["rank"].min() == 1).all()
+    # within a group, rank order follows df_docs desc
+    for _, g in out.groupby("source"):
+        g = g.sort_values("rank")
+        assert (g["df_docs"].diff().dropna() <= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# empty-input robustness
+# ---------------------------------------------------------------------------
+
+def test_corpus_ops_on_empty_frames(spark, docs):
+    from sptag_spark.operators.corpus import (
+        contamination_report, pack_chunks_global, repetition_stats,
+        stratified_sample, top_ngrams, weighted_mix,
+    )
+
+    empty = docs.filter("doc_id < 0")
+    assert contamination_report(empty, docs).count() == 0
+    # empty benchmark: nothing is contaminated, every doc still reported
+    rep = contamination_report(docs, empty)
+    assert rep.count() == docs.count()
+    assert rep.filter("is_contaminated = 1").count() == 0
+    sized = empty.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), "\\s+")).cast("long")
+        .alias("n_tokens"),
+    )
+    assert pack_chunks_global(sized, 64).count() == 0
+    assert repetition_stats(empty).count() == 0
+    assert stratified_sample(empty, {"src0": 500}).count() == 0
+    assert weighted_mix(empty, {"src0": 1500}).count() == 0
+    assert top_ngrams(empty).count() == 0
