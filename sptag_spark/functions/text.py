@@ -173,7 +173,11 @@ def word_shingles(text: Column, n: int = 3) -> Column:
       alone. A lambda variable is an attribute reference — free. The
       degenerate-row norm is recovered as concat_ws(' ', toks), identical
       to the normalized text because normalize collapses/trims
-      whitespace. NOTE this trick pays ONLY inside interpreted HOF trees;
+      whitespace — EXCEPT for NULL text, where concat_ws would coerce the
+      null tokens to '' and silently merge NULL-text docs with empty-text
+      docs in every dedup; the explicit isNull guard preserves the
+      original [null] result (which downstream isnotnull filters drop).
+      NOTE the binding trick pays ONLY inside interpreted HOF trees;
       wrapping plain codegen'd projections (e.g. the text-stats columns)
       in transform() FORCES them interpreted and is a large regression —
       measured 40x on with_text_stats."""
@@ -192,7 +196,9 @@ def word_shingles(text: Column, n: int = 3) -> Column:
             F.when(k >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))
         )
 
-    return F.get(F.transform(F.array(toks_once), build), 0)
+    return F.when(
+        text.isNull(), F.array(F.lit(None).cast("string"))
+    ).otherwise(F.get(F.transform(F.array(toks_once), build), 0))
 
 
 def doc_fingerprint(text: Column) -> Column:

@@ -429,7 +429,6 @@ def top_ngrams(
     df: DataFrame,
     n: int = 3,
     k: int = 50,
-    id_col: str = "doc_id",
     text_col: str = "text",
     per_group: str | None = None,
 ) -> DataFrame:
@@ -461,17 +460,17 @@ def top_ngrams(
             counts, [per_group],
             order_by=[F.col("df_docs").desc(), F.col("ngram").asc()], k=k,
         )
-    out = (
-        counts.orderBy(F.col("df_docs").desc(), F.col("ngram").asc())
-        .limit(k)
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                # post-limit window over k rows — driver-scale by design
-                Window.partitionBy(F.lit(0)).orderBy(
-                    F.col("df_docs").desc(), F.col("ngram").asc()
-                )
-            ).cast("int"),
-        )
+    from sptag_spark.operators.topk import global_top_k
+
+    top = global_top_k(
+        counts, [F.col("df_docs").desc(), F.col("ngram").asc()], k
     )
-    return out
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            # post-limit window over k rows — driver-scale by design
+            Window.partitionBy(F.lit(0)).orderBy(
+                F.col("df_docs").desc(), F.col("ngram").asc()
+            )
+        ).cast("int"),
+    )

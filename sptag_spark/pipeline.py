@@ -85,10 +85,17 @@ def run_pipeline(
         result = feats
     if out_path:
         result.write.mode("overwrite").parquet(out_path)
-        n_out = spark.read.parquet(out_path).count()
+        elapsed = time.time() - t0
+        n_out = spark.read.parquet(out_path).count()  # footer-cheap
     else:
+        # noop write, NOT count(): count() column-prunes the served
+        # payload out of the plan (MapInArrow + every window feature
+        # disappear) and would time a join skeleton that computes no
+        # features (CLAUDE.md rule 11). The row count afterwards is
+        # deliberately outside the timed section.
+        result.write.format("noop").mode("overwrite").save()
+        elapsed = time.time() - t0
         n_out = result.count()
-    elapsed = time.time() - t0
     stats = seqs.agg(
         F.count(F.lit(1)).alias("n_seq"), F.sum("n_tok").alias("n_tok")
     ).collect()[0]

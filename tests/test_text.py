@@ -81,3 +81,25 @@ def test_lang_id_tiebreak_lexicographic(spark):
     # 'la' is a marker for both es and fr; equal scores -> 'es' (sorted first)
     df = spark.createDataFrame([(1, "la la")], ["doc_id", "text"])
     assert with_lang_id(df).collect()[0]["lang_guess"] == "es"
+
+
+def test_word_shingles_null_and_empty_text(spark):
+    """NULL text yields [null] (downstream isnotnull filters drop it);
+    empty text yields [''] — the two must NOT collapse to the same
+    shingle set or every dedup would merge null-text docs with
+    empty-text docs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from sptag_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one two")],
+        StructType([StructField("doc_id", StringType()),
+                    StructField("text", StringType())]),
+    )
+    out = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")).collect()}
+    assert out["1"] == [None]
+    assert out["2"] == [""]
+    assert out["3"] == ["one two"]

@@ -118,16 +118,21 @@ def main() -> int:
                  PYSPARK_DRIVER_PYTHON=sys.executable),
     )
     wall = time.time() - t0
-    if proc.returncode != 0:
+    json_lines = [ln for ln in proc.stdout.splitlines()
+                  if ln.startswith("{")]
+    if proc.returncode != 0 or not json_lines:
         print(proc.stdout[-2000:])
         print(proc.stderr[-4000:])
+        print(f"(smoke artifacts kept for debugging: {tmp})")
         return 1
-    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-    m = json.loads(line)
+    m = json.loads(json_lines[-1])
     m["spark_submit_wall_sec"] = round(wall, 1)
     m["n_docs"] = n_docs
     m["cpus"] = int(cpus)
     print(json.dumps(m))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)  # GBs of parquet per run
     return 0
 
 
