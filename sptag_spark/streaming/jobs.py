@@ -194,6 +194,32 @@ def stream_exact_dedup(
     return ev.dropDuplicatesWithinWatermark(["fp"])
 
 
+def stream_corpus_gate(
+    docs: DataFrame,
+    rates: dict[str, int],
+    min_quality: float = 0.5,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+) -> DataFrame:
+    """Streaming corpus-preparation gate: quality scoring + deterministic
+    mixture sampling on a document stream. Entirely STATELESS (pure
+    per-row expressions, md5 sampling key) — no watermark, no state
+    store, append-mode safe at any rate; a restart or replay admits
+    exactly the same rows because the sample key is a pure function of
+    the row. Tested row-identical to the batch operators."""
+    from sptag_spark.functions.text import with_text_stats
+    from sptag_spark.operators.corpus import stratified_sample
+
+    scored = with_text_stats(docs).filter(
+        F.col("quality_score") >= min_quality
+    )
+    return stratified_sample(
+        scored, rates, strata_col=strata_col, id_col=id_col,
+        default_rate=default_rate,
+    )
+
+
 def incremental_append(
     stream: DataFrame,
     out_path: str,

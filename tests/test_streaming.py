@@ -294,3 +294,35 @@ def test_stream_exact_dedup_matches_batch(spark, tmp_path):
     batch = exact_dedup(df).filter("is_duplicate = 0").collect()
     assert {r["fp"] for r in got} == {r["fp"] for r in batch}
     assert len(got) == len(batch) == 4
+
+
+def test_stream_corpus_gate_matches_batch(spark, tmp_path_factory):
+    """The stateless corpus gate (quality filter + deterministic
+    sampling) admits exactly the same rows on a stream as in batch."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.functions.text import with_text_stats
+    from sptag_spark.operators.corpus import stratified_sample
+    from sptag_spark.streaming.jobs import (
+        run_available_now, stream_corpus_gate,
+    )
+
+    docs_dir = str(tmp_path_factory.mktemp("docs_src"))
+    batch_docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch_docs.repartition(4).write.mode("overwrite").parquet(docs_dir)
+    schema = batch_docs.schema
+
+    rates = {"src0": 600, "src1": 250}
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    gated = stream_corpus_gate(stream, rates, min_quality=0.4,
+                               default_rate=100)
+    run_available_now(gated, "gate_stream", output_mode="append")
+    got = {(r["doc_id"], r["sample_key"])
+           for r in spark.table("gate_stream").collect()}
+
+    want_df = stratified_sample(
+        with_text_stats(batch_docs).filter("quality_score >= 0.4"),
+        rates, default_rate=100,
+    )
+    want = {(r["doc_id"], r["sample_key"]) for r in want_df.collect()}
+    assert got == want and len(got) > 0
