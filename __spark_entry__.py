@@ -615,12 +615,16 @@ def _minhash_band_ctes(num_hashes: int, bands: int) -> str:
         f" AS mh{h}"
         for h, (a, b) in enumerate(params)
     )
+    # tuple band keys (k0..k{r-1} raw ints), not a concat string — joins
+    # NULL-safe-NOT: a null signature value never matches, mirroring the
+    # engine's long-column equi-join
     band_selects = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, concat_ws('|', "
-        + ", ".join(f"mh{b * r + i}" for i in range(r))
-        + ") AS bkey FROM sig"
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"mh{b * r + i} AS k{i}" for i in range(r))
+        + " FROM sig"
         for b in range(bands)
     )
+    kjoin = "".join(f"   AND a.k{i} = b.k{i}\n" for i in range(r))
     return f""",
 xs0 AS (SELECT doc_id,
     list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS xs
@@ -631,8 +635,9 @@ sig AS (SELECT doc_id,
 bands AS ({band_selects}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-"""
+    ON a.band = b.band AND a.doc_id < b.doc_id
+{kjoin})
+"""""
 
 
 def _minhash_lsh_oracle(num_hashes: int = 12, bands: int = 4) -> str:

@@ -285,6 +285,84 @@ def minhash_signature(
     return based.select("_id", sig.alias("sig"))
 
 
+def minhash_signature_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    n: int = 3,
+) -> DataFrame:
+    """Arrow/numpy twin of `minhash_signature` — bit-identical values
+    (tested element-for-element), and crucially it SCALES: the JVM
+    expression tree allocates ~40 short-lived strings per doc (shingles +
+    md5 hex) and single-JVM allocator/GC contention caps the 2→8-core
+    speedup of the expression path at ~1.7x; Python workers are separate
+    PROCESSES with private allocators — the same design that gives the
+    token pipeline its 0.83-0.95 scaling efficiency (BENCH.md).
+
+    Normalization ALSO runs in the kernel (Python re with re.ASCII —
+    asserted char-identical to the JVM normalize_text on every corpus,
+    tests/test_dedup.py): the JVM regex+string churn is the part that
+    does NOT scale across threads in one JVM (measured ~35us/doc at 1
+    thread degrading ~10x per-core at 8 threads — allocator/GC
+    contention), while separate Python processes scale at ~1.0. The
+    kernel then splits on single spaces (exact: normalize collapses
+    whitespace), md5s each n-shingle (identical bytes), and applies the
+    shared multiply-shift permutations in int64 (a < 2^30, x < 2^32 —
+    no overflow, same as the expression and the DuckDB oracle)."""
+    import numpy as np
+    import pyarrow as pa
+
+    params = _mh_params(num_hashes)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    nn = n
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        r_punct = re.compile(r"[^a-z0-9\s]", re.ASCII)
+        r_ws = re.compile(r"\s+", re.ASCII)
+        for batch in batches:
+            ids = batch.column("_id")
+            sig_rows = []
+            for txt in batch.column("_text").to_pylist():
+                if txt is None:
+                    # expr twin: word_shingles(NULL) = [null] -> md5(null)
+                    # = null -> array_min = null per hash
+                    sig_rows.append([None] * num_hashes)
+                    continue
+                nm = r_ws.sub(" ", r_punct.sub(" ", txt.lower())).strip()
+                toks = nm.split(" ")
+                if len(toks) >= nn:
+                    shingles = [
+                        " ".join(toks[i:i + nn])
+                        for i in range(len(toks) - nn + 1)
+                    ]
+                else:
+                    shingles = [nm]
+                xs = np.frombuffer(
+                    b"".join(hashlib.md5(s.encode("utf-8")).digest()[:4]
+                             for s in shingles),
+                    dtype=">u4",
+                ).astype(np.int64)
+                sig_rows.append(
+                    ((A * xs + B) & _MH_MASK61).min(axis=1).tolist()
+                )
+            yield pa.record_batch(
+                [ids, pa.array(sig_rows, type=pa.list_(pa.int64()))],
+                names=["_id", "sig"],
+            )
+
+    src = _ensure_parallel(df).select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    return src.mapInArrow(kernel, schema=f"_id {id_type}, sig array<long>")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -293,6 +371,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     shingled: DataFrame | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing at least one LSH band.
 
@@ -302,31 +381,42 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signature(df, id_col, text_col, num_hashes, n,
-                             shingled=shingled)
+    if shingled is not None or engine == "expr":
+        sigs = minhash_signature(df, id_col, text_col, num_hashes, n,
+                                 shingled=shingled)
+    else:
+        # Arrow kernel by default: bit-identical, and it scales across
+        # cores (separate-process allocators) where the JVM expression
+        # tree hits single-JVM GC/bandwidth contention — see
+        # minhash_signature_arrow's docstring.
+        sigs = minhash_signature_arrow(df, id_col, text_col, num_hashes, n)
+    # Band keys are the RAW signature slice as r long columns, NOT a
+    # concat string: the multi-key long equi-join has identical
+    # semantics (delimited concat equality == tuple equality) with zero
+    # per-row string allocation — JVM string churn is exactly what
+    # anti-scales across threads in one JVM (see
+    # minhash_signature_arrow's docstring).
+    kcols = [f"k{i}" for i in range(r)]
     banded = sigs.select(
         "_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    # raw signature-slice concat IS the band key — an
-                    # extra md5 over it buys nothing the equi-join
-                    # doesn't already have
-                    F.concat_ws(
-                        "|",
-                        *[F.element_at("sig", b * r + i + 1) for i in range(r)],
-                    ).alias("bkey"),
+                    *[F.element_at("sig", b * r + i + 1).alias(kcols[i])
+                      for i in range(r)],
                 )
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("_id", "bk.band", "bk.bkey")
+    ).select("_id", "bk.band", *[f"bk.{k}" for k in kcols])
     a, b = banded.alias("a"), banded.alias("b")
+    cond = (F.col("a.band") == F.col("b.band")) \
+        & (F.col("a._id") < F.col("b._id"))
+    for k in kcols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bkey") == F.col("b.bkey"))
-               & (F.col("a._id") < F.col("b._id")))
+        a.join(b, cond)
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
@@ -355,24 +445,25 @@ def jaccard_pairs_lsh(
     Output schema matches jaccard_pairs: (id_a, id_b, n_a, n_b,
     n_common, jaccard).
     """
-    # ONE shingle evaluation for all three consumers (the MinHash
-    # signatures and both verify-join sides): compute the arrays, then
-    # hash-repartition on _id — the signature path and the two verify
-    # frames all read this single Exchange (ReusedExchange), instead of
-    # each re-running the normalize/zip_with pipeline over the corpus.
-    # _ensure_parallel first: the shingle expressions evaluate below the
-    # exchange, in the scan stage (single-split small files otherwise pin
-    # one core). One row per doc — no skew concern on _id.
-    from sptag_spark.session import shuffle_parts
-
-    shingled = _ensure_parallel(df).select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n).alias("_shingles"),
-    ).repartition(shuffle_parts(df.sparkSession), "_id")
-    cand = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes, bands, n, shingled=shingled
+    # Candidates come from the Arrow signature kernel (scales across
+    # cores); the exact-verify join then shingles ONLY the candidate
+    # docs — a semi-join of the corpus against the candidate id set —
+    # never the full corpus. At 100 TB the candidate set is orders of
+    # magnitude smaller than the corpus, so the expensive JVM shingle
+    # expression runs on a sliver (an earlier shape shingled and
+    # shuffled the whole corpus to serve a few hundred candidates).
+    cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, n)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
     )
-    sh = shingled.withColumnRenamed("_shingles", "_sh")
+    docs_c = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).join(cand_ids, "_id")
+    sh = docs_c.select(
+        "_id", word_shingles(F.col("_text"), n).alias("_sh")
+    )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (

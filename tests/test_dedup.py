@@ -139,3 +139,54 @@ def test_minhash_large_num_hashes_runs(docs):
     sig = minhash_signature(docs.limit(5), num_hashes=48).collect()
     assert all(len(r["sig"]) == 48 for r in sig)
     assert all(all(v >= 0 for v in r["sig"]) for r in sig)
+
+
+def test_minhash_signature_arrow_bit_identical(spark):
+    """The Arrow signature kernel must reproduce the JVM expression
+    path element-for-element (same md5 base hashes, same multiply-shift
+    permutations) — it is the default engine for the LSH paths."""
+    from sptag_spark.operators.dedup import (
+        minhash_signature, minhash_signature_arrow,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    expr = {r["_id"]: r["sig"] for r in minhash_signature(docs).collect()}
+    arrow = {r["_id"]: r["sig"]
+             for r in minhash_signature_arrow(docs).collect()}
+    assert expr == arrow and len(arrow) == docs.count()
+    # degenerate rows: short text (one shingle), empty, NULL
+    from pyspark.sql.types import StringType, StructField, StructType
+    edge = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, None)],
+        StructType([StructField("doc_id", StringType()),
+                    StructField("text", StringType())]),
+    )
+    e = {r["_id"]: r["sig"] for r in minhash_signature(edge).collect()}
+    a = {r["_id"]: r["sig"] for r in minhash_signature_arrow(edge).collect()}
+    assert e == a
+
+
+def test_python_normalize_matches_jvm(spark):
+    """The Arrow kernel's re.ASCII normalize must be char-identical to
+    the JVM normalize_text on the corpus and on tricky ASCII edges
+    (the cross-engine md5s depend on the exact normalized bytes)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from sptag_spark.functions.text import normalize_text
+
+    r_punct = re.compile(r"[^a-z0-9\s]", re.ASCII)
+    r_ws = re.compile(r"\s+", re.ASCII)
+
+    def py_norm(t):
+        return r_ws.sub(" ", r_punct.sub(" ", t.lower())).strip()
+
+    edges = ["", "   ", "A\tB\nC\x0b\x0cD", "a--b__c", "UPPER lower 42",
+             "!@#$%^&*()", "  spaced\t\tout  ", "mIxEd-CaSe.9"]
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()] + edges
+    jvm = spark.createDataFrame([(t,) for t in texts], ["text"]) \
+        .select(normalize_text(F.col("text")).alias("n")).collect()
+    for t, row in zip(texts, jvm):
+        assert py_norm(t) == row["n"], repr(t)
