@@ -536,9 +536,11 @@ def simhash_from_hashes(hashes: "F.Column") -> "F.Column":
 def _simhash_arrow(hashed: DataFrame) -> DataFrame:
     """(_id, _h array<long>) -> (_id, sim): the 32 per-bit majority votes
     in one vectorized numpy pass per Arrow batch. Bit-identical to
-    simhash_from_hashes (tested) — md5 stays JVM-side, only the bit math
-    moves to numpy (32 expression-tier aggregates per row are pure
-    expression-evaluation overhead)."""
+    simhash_from_hashes — md5 stays JVM-side, only the bit math moves to
+    numpy. SUPERSEDED on the hot path by simhash_sketch_arrow (which
+    fuses normalize+shingle+md5 into the kernel too — the JVM md5 string
+    churn was the thread-scaling bottleneck); kept for callers that
+    already hold a feature-hash array column (e.g. non-text features)."""
     from typing import Iterator
 
     import numpy as np
@@ -577,6 +579,65 @@ def _simhash_arrow(hashed: DataFrame) -> DataFrame:
     return hashed.mapInArrow(run, schema=out_schema)
 
 
+def simhash_sketch_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text) -> (_id, sim): normalize + distinct 3-shingles + md5 +
+    the 32 per-bit majority votes fused in ONE Python kernel — the
+    scaling shape (see minhash_signature_arrow: JVM per-shingle string
+    churn flat-lines across threads in one JVM; Python workers scale at
+    ~1.0). Bit-identical to simhash32 (tested): distinct shingles (votes
+    count the shingle SET, matching array_distinct), same md5-first-8-hex
+    int64, NULL text -> all-bits-lose -> sim 0 (the expression's
+    when(null).otherwise(-1) semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ar = np.arange(SIMHASH_BITS, dtype=np.int64)
+    weights = (1 << ar).astype(np.int64)
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        r_punct = re.compile(r"[^a-z0-9\s]", re.ASCII)
+        r_ws = re.compile(r"\s+", re.ASCII)
+        for batch in batches:
+            sims = []
+            for txt in batch.column("_text").to_pylist():
+                if txt is None:
+                    sims.append(0)
+                    continue
+                nm = r_ws.sub(" ", r_punct.sub(" ", txt.lower())).strip()
+                toks = nm.split(" ")
+                if len(toks) >= 3:
+                    shingles = list(dict.fromkeys(
+                        " ".join(toks[i:i + 3])
+                        for i in range(len(toks) - 2)
+                    ))
+                else:
+                    shingles = [nm]
+                xs = np.frombuffer(
+                    b"".join(hashlib.md5(s.encode("utf-8")).digest()[:4]
+                             for s in shingles),
+                    dtype=">u4",
+                ).astype(np.int64)
+                votes = (((xs[:, None] >> ar) & 1) * 2 - 1).sum(axis=0)
+                sims.append(int(((votes > 0) * weights).sum()))
+            yield pa.record_batch(
+                [batch.column("_id"), pa.array(sims, pa.int64())],
+                names=["_id", "sim"],
+            )
+
+    src = _ensure_parallel(df).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    return src.mapInArrow(kernel, schema=f"_id {id_type}, sim long")
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -595,14 +656,7 @@ def simhash_pairs(
         "4-block pigeonhole only covers radius blocks-1"
     bits_per_block = SIMHASH_BITS // SIMHASH_BLOCKS
     block_mask = (1 << bits_per_block) - 1
-    hashed = _ensure_parallel(df).select(
-        F.col(id_col).alias("_id"),
-        F.transform(
-            word_shingles(F.col(text_col), 3),
-            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
-        ).alias("_h"),
-    )
-    sh = _simhash_arrow(hashed)
+    sh = simhash_sketch_arrow(df, id_col, text_col)
     # Block value = the masked byte in place (no shift needed: equality on
     # sim & mask == equality on the block).
     blocked = sh.select(

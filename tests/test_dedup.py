@@ -190,3 +190,29 @@ def test_python_normalize_matches_jvm(spark):
         .select(normalize_text(F.col("text")).alias("n")).collect()
     for t, row in zip(texts, jvm):
         assert py_norm(t) == row["n"], repr(t)
+
+
+def test_simhash_sketch_arrow_bit_identical(spark):
+    """The fused Python SimHash kernel must equal the JVM
+    shingle+md5 expression path sketch-for-sketch (incl. NULL/empty)."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.dedup import simhash32, simhash_sketch_arrow
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    expr = {r["doc_id"]: r["sim"] for r in docs.select(
+        "doc_id", simhash32(F.col("text")).alias("sim")).collect()}
+    arrow = {r["_id"]: r["sim"]
+             for r in simhash_sketch_arrow(docs).collect()}
+    assert expr == arrow and len(arrow) == docs.count()
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    edge = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, None)],
+        StructType([StructField("doc_id", LongType()),
+                    StructField("text", StringType())]),
+    )
+    e = {r["doc_id"]: r["sim"] for r in edge.select(
+        "doc_id", simhash32(F.col("text")).alias("sim")).collect()}
+    a = {r["_id"]: r["sim"] for r in simhash_sketch_arrow(edge).collect()}
+    # NULL text: every bit's vote is the when(null)->otherwise(-1) loss
+    assert e == a and a[3] == 0
