@@ -528,20 +528,16 @@ WHERE f.quality_score >= 0.5 AND f.n_ws_tokens BETWEEN 10 AND 1000
 
 
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sptag_spark.functions.text import (
-        doc_fingerprint, shingle_min_fingerprint,
-    )
+    """Fused Python kernel (normalize + md5 + shingle-min md5):
+    bit-identical to the doc_fingerprint/shingle_min_fingerprint
+    expressions (tested char-for-char) and thread-scalable — JVM
+    per-shingle md5 string churn flat-lines across cores in one JVM."""
+    from sptag_spark.functions.text import fingerprints_arrow
 
-    # repartition: the md5-per-shingle work would otherwise run on the
-    # single input split of the small parquet file (one core)
     docs = _documents(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    return docs.select(
-        "doc_id",
-        doc_fingerprint(F.col("text")).alias("fp"),
-        shingle_min_fingerprint(F.col("text")).alias("minhash1"),
-    )
+    return fingerprints_arrow(docs)
 
 
 _DOC_FINGERPRINT_ORACLE = _SHINGLES_CTE + f"""

@@ -210,3 +210,59 @@ def shingle_min_fingerprint(text: Column, n: int = 3) -> Column:
     """MinHash with one hash function: lexicographic min of per-shingle
     md5s — a locality-sensitive 1-perm sketch of the document."""
     return F.array_min(F.transform(word_shingles(text, n), F.md5))
+
+
+def fingerprints_arrow(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3,
+) -> "DataFrame":
+    """(id, text) -> (id, fp, minhash1): md5 content fingerprint + 1-perm
+    shingle MinHash fused in one Python kernel — bit-identical to
+    doc_fingerprint/shingle_min_fingerprint (tested char-for-char) and
+    it scales: JVM per-shingle md5/string churn flat-lines across threads
+    in one JVM (see operators/dedup.py minhash_signature_arrow), while
+    Python workers bring process-level allocators. NULL text -> NULL fp
+    and NULL minhash1 (md5(null)/min-over-[null] expression semantics)."""
+    import pyarrow as pa
+
+    nn = n
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        r_punct = re.compile(r"[^a-z0-9\s]", re.ASCII)
+        r_ws = re.compile(r"\s+", re.ASCII)
+        for batch in batches:
+            fps, mins = [], []
+            for txt in batch.column("_text").to_pylist():
+                if txt is None:
+                    fps.append(None)
+                    mins.append(None)
+                    continue
+                nm = r_ws.sub(" ", r_punct.sub(" ", txt.lower())).strip()
+                fps.append(hashlib.md5(nm.encode("utf-8")).hexdigest())
+                toks = nm.split(" ")
+                if len(toks) >= nn:
+                    shingles = {
+                        " ".join(toks[i:i + nn])
+                        for i in range(len(toks) - nn + 1)
+                    }
+                else:
+                    shingles = {nm}
+                mins.append(min(
+                    hashlib.md5(s.encode("utf-8")).hexdigest()
+                    for s in shingles
+                ))
+            yield pa.record_batch(
+                [batch.column("_id"), pa.array(fps, pa.string()),
+                 pa.array(mins, pa.string())],
+                names=["_id", "fp", "minhash1"],
+            )
+
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(text_col).alias("_text"))
+    id_type = df.schema[id_col].dataType.simpleString()
+    return src.mapInArrow(
+        kernel, schema=f"_id {id_type}, fp string, minhash1 string"
+    ).withColumnRenamed("_id", id_col)

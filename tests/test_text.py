@@ -103,3 +103,33 @@ def test_word_shingles_null_and_empty_text(spark):
     assert out["1"] == [None]
     assert out["2"] == [""]
     assert out["3"] == ["one two"]
+
+
+def test_fingerprints_arrow_bit_identical(spark):
+    """The fused fingerprint kernel must equal the JVM expression pair
+    char-for-char (same normalized bytes -> same md5 hex)."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.functions.text import (
+        doc_fingerprint, fingerprints_arrow, shingle_min_fingerprint,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    expr = {r["doc_id"]: (r["fp"], r["m"]) for r in docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp"),
+        shingle_min_fingerprint(F.col("text")).alias("m")).collect()}
+    got = {r["doc_id"]: (r["fp"], r["minhash1"])
+           for r in fingerprints_arrow(docs).collect()}
+    assert expr == got and len(got) == docs.count()
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    edge = spark.createDataFrame(
+        [(1, "short one"), (2, ""), (3, None)],
+        StructType([StructField("doc_id", LongType()),
+                    StructField("text", StringType())]),
+    )
+    e = {r["doc_id"]: (r["fp"], r["m"]) for r in edge.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp"),
+        shingle_min_fingerprint(F.col("text")).alias("m")).collect()}
+    g = {r["doc_id"]: (r["fp"], r["minhash1"])
+         for r in fingerprints_arrow(edge).collect()}
+    assert e == g and g[3] == (None, None)
