@@ -410,6 +410,15 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select("_id", "bk.band", *[f"bk.{k}" for k in kcols])
+    # explicit exchange on the join keys ABOVE the kernel: both self-join
+    # sides hang off it, AQE reuses the stage, and the signature kernel
+    # executes ONCE (without this, each side re-ran the Python kernel —
+    # the reused exchange sat below it)
+    from sptag_spark.session import shuffle_parts
+
+    banded = banded.repartition(
+        shuffle_parts(df.sparkSession), "band", *kcols
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cond = (F.col("a.band") == F.col("b.band")) \
         & (F.col("a._id") < F.col("b._id"))
