@@ -369,7 +369,87 @@ def weighted_mix(
 # Repetition stats (Gopher-style quality signal)
 # ---------------------------------------------------------------------------
 
+def repetition_stats_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fused Python kernel for the repetition signal — value-identical to
+    the relational form (tested) and thread-scalable: the bigram
+    explode + string groupBy churns JVM strings, which flat-lines across
+    threads in one JVM (see dedup.minhash_signature_arrow).
+
+    Exact-twin notes: tokenization is Java-trim (strip chars <= U+0020)
+    + re.ASCII \\s+ split, both char-identical to ws_tokens; the argmax
+    tiebreak is min((-count, bigram)) = highest count then
+    lexicographically smallest bigram, identical to the SQL oracle's
+    row_number ordering; rep_ratio is one float division (IEEE-identical
+    to Spark's double division)."""
+    import pyarrow as pa
+
+    java_ws = "".join(chr(i) for i in range(33))
+
+    def kernel(batches):
+        import re
+        from collections import Counter
+
+        r_split = re.compile(r"\s+", re.ASCII)
+        for batch in batches:
+            nb, tb, tc, rr = [], [], [], []
+            for txt in batch.column("_text").to_pylist():
+                if txt is None:
+                    # relational twin: bigrams = [trim(null)] = [null];
+                    # groupBy counts the null group
+                    nb.append(1)
+                    tb.append(None)
+                    tc.append(1)
+                    rr.append(1.0)
+                    continue
+                trimmed = txt.strip(java_ws)
+                toks = r_split.split(trimmed)
+                if len(toks) >= 2:
+                    bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+                else:
+                    bigrams = [trimmed]
+                counts = Counter(bigrams)
+                cnt, bg = min((-c, g) for g, c in counts.items())
+                nb.append(len(bigrams))
+                tb.append(bg)
+                tc.append(-cnt)
+                rr.append(float(-cnt) / len(bigrams))
+            yield pa.record_batch(
+                [batch.column("_id"), pa.array(nb, pa.int64()),
+                 pa.array(tb, pa.string()), pa.array(tc, pa.int64()),
+                 pa.array(rr, pa.float64())],
+                names=["_id", "n_bigrams", "top_bigram", "top_count",
+                       "rep_ratio"],
+            )
+
+    from sptag_spark.operators.dedup import _ensure_parallel
+
+    src = _ensure_parallel(df).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    return src.mapInArrow(
+        kernel,
+        schema=(f"_id {id_type}, n_bigrams long, top_bigram string, "
+                "top_count long, rep_ratio double"),
+    ).withColumnRenamed("_id", id_col)
+
+
 def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    engine: str = "arrow",
+) -> DataFrame:
+    if engine == "arrow":
+        return repetition_stats_arrow(df, id_col, text_col)
+    return _repetition_stats_relational(df, id_col, text_col)
+
+
+def _repetition_stats_relational(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",

@@ -314,3 +314,31 @@ def test_corpus_ops_on_empty_frames(spark, docs):
     assert stratified_sample(empty, {"src0": 500}).count() == 0
     assert weighted_mix(empty, {"src0": 1500}).count() == 0
     assert top_ngrams(empty).count() == 0
+
+
+def test_repetition_arrow_matches_relational(spark, docs):
+    """Kernel vs relational repetition stats — value-identical incl.
+    the lexicographic argmax tiebreak and degenerate rows."""
+    from sptag_spark.operators.corpus import (
+        _repetition_stats_relational, repetition_stats_arrow,
+    )
+
+    a = {r["doc_id"]: (r["n_bigrams"], r["top_bigram"], r["top_count"],
+                       r["rep_ratio"])
+         for r in repetition_stats_arrow(docs).collect()}
+    b = {r["doc_id"]: (r["n_bigrams"], r["top_bigram"], r["top_count"],
+                       r["rep_ratio"])
+         for r in _repetition_stats_relational(docs).collect()}
+    assert a == b and len(a) == docs.count()
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    edge = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "  x \t y  "), (4, "b a b a b a")],
+        StructType([StructField("doc_id", LongType()),
+                    StructField("text", StringType())]),
+    )
+    ea = {r["doc_id"]: (r["n_bigrams"], r["top_bigram"], r["top_count"])
+          for r in repetition_stats_arrow(edge).collect()}
+    eb = {r["doc_id"]: (r["n_bigrams"], r["top_bigram"], r["top_count"])
+          for r in _repetition_stats_relational(edge).collect()}
+    assert ea == eb
