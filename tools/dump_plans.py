@@ -114,9 +114,13 @@ def main() -> int:
         ),
         (
             "MinHash LSH candidate pairs",
-            "Shingle+signature computation is a pure projection (no "
-            "shuffle); the only Exchanges are the band-bucket self-join "
-            "and the final distinct.",
+            "Signatures come from ONE Arrow kernel execution "
+            "(normalize+shingle+md5+minhash fused in Python — the "
+            "thread-scalable shape, BENCH.md corpus-dedup section); the "
+            "explicit repartition on (band, k0..k2) above the kernel is "
+            "what both self-join sides reuse (without it each side "
+            "re-ran the kernel). Band keys are raw longs — no per-row "
+            "string allocation anywhere past the scan.",
             minhash_lsh_pairs(docs, num_hashes=12, bands=4),
         ),
         (
