@@ -47,6 +47,66 @@ def md5_key_sql(expr: str, salt: str, denom: int) -> str:
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
 
+def _exploded_shingles_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    with_count: bool,
+) -> DataFrame:
+    """(id, text) -> exploded (_id[, _n_sh], _sh) rows with the
+    normalize+shingle work in a Python kernel — char-identical shingle
+    strings to word_shingles (same normalize, distinct, degenerate-row
+    semantics; NULL text -> one NULL-shingle row like explode_outer of
+    [null]) but thread-scalable (the JVM string churn law, see
+    dedup.minhash_signature_arrow)."""
+    import pyarrow as pa
+
+    nn = n
+
+    def kernel(batches):
+        import re
+
+        r_punct = re.compile(r"[^a-z0-9\s]", re.ASCII)
+        r_ws = re.compile(r"\s+", re.ASCII)
+        for batch in batches:
+            out_ids, out_counts, out_sh = [], [], []
+            for rid, txt in zip(batch.column("_id").to_pylist(),
+                                batch.column("_text").to_pylist()):
+                if txt is None:
+                    shingles = [None]
+                else:
+                    nm = r_ws.sub(" ", r_punct.sub(" ", txt.lower())) \
+                        .strip()
+                    toks = nm.split(" ")
+                    if len(toks) >= nn:
+                        shingles = list(dict.fromkeys(
+                            " ".join(toks[i:i + nn])
+                            for i in range(len(toks) - nn + 1)
+                        ))
+                    else:
+                        shingles = [nm]
+                out_ids.extend([rid] * len(shingles))
+                out_counts.extend([len(shingles)] * len(shingles))
+                out_sh.extend(shingles)
+            cols = [pa.array(out_ids)]
+            names = ["_id"]
+            if with_count:
+                cols.append(pa.array(out_counts, pa.int64()))
+                names.append("_n_sh")
+            cols.append(pa.array(out_sh, pa.string()))
+            names.append("_sh")
+            yield pa.record_batch(cols, names=names)
+
+    from sptag_spark.operators.dedup import _ensure_parallel
+
+    src = _ensure_parallel(df).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    mid = ", _n_sh long" if with_count else ""
+    return src.mapInArrow(
+        kernel, schema=f"_id {id_type}{mid}, _sh string"
+    )
+
+
 def contamination_report(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -73,29 +133,18 @@ def contamination_report(
     the per-doc aggregation of hit rows (a small fraction of the corpus).
     The corpus itself is never re-partitioned.
     """
-    # ONE shingle evaluation for both consumers (the exploded hit join
-    # and the per-doc shingle counts): compute the arrays, repartition on
-    # _id, and let the two branches read the same Exchange
-    # (ReusedExchange). _ensure_parallel first so the shingle expressions
-    # (below the exchange, in the scan stage) parallelize on single-split
-    # inputs. explode_OUTER, not explode: plain explode triggers
-    # InferFiltersFromGenerate, which re-inlines the generator into a
-    # pre-Generate filter (2x the regex work per row); word_shingles
-    # always yields >= 1 element so outer is identical.
-    from sptag_spark.operators.dedup import _ensure_parallel
-    from sptag_spark.session import shuffle_parts
-
-    shingled = _ensure_parallel(corpus).select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n).alias("_shingles"),
-    ).repartition(shuffle_parts(corpus.sparkSession), "_id")
-    c_sh = shingled.select(
-        "_id", F.explode_outer("_shingles").alias("_sh")
+    # Shingle explosion happens in a Python kernel (char-identical
+    # strings to word_shingles, thread-scalable — the JVM string-churn
+    # law); the per-doc shingle count rides every exploded row, so the
+    # base frame is a map-side-combinable first() per doc (each doc's
+    # rows are kernel-contiguous — one partial row per doc reaches the
+    # shuffle), not a second shingle pass.
+    c_sh = _exploded_shingles_arrow(
+        corpus, id_col, text_col, n, with_count=True
     )
-    b_sh = benchmark.select(
-        F.col(bench_id_col).alias("_bid"),
-        F.explode_outer(word_shingles(F.col(bench_text_col), n)).alias("_sh"),
-    ).distinct()
+    b_sh = _exploded_shingles_arrow(
+        benchmark, bench_id_col, bench_text_col, n, with_count=False
+    ).select(F.col("_id").alias("_bid"), "_sh").distinct()
     hits = (
         c_sh.join(F.broadcast(b_sh), "_sh")
         .groupBy("_id")
@@ -104,9 +153,7 @@ def contamination_report(
             F.countDistinct("_bid").alias("n_bench_docs"),
         )
     )
-    base = shingled.select(
-        "_id", F.size("_shingles").alias("n_sh")
-    )
+    base = c_sh.groupBy("_id").agg(F.first("_n_sh").alias("n_sh"))
     out = (
         base.join(hits, "_id", "left")
         .select(
