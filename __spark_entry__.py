@@ -443,10 +443,12 @@ _STOPWORDS_SQL = "('the','a','of','and','to','in','is')"
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sptag_spark.functions.text import with_text_stats
+    """Arrow text-stats kernel — value-identical to the expression form
+    (exact ints, same-order IEEE doubles; tested) and thread-scalable."""
+    from sptag_spark.functions.text import with_text_stats_arrow
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
-    return with_text_stats(docs).drop("text")
+    return with_text_stats_arrow(docs).drop("text")
 
 
 _TEXT_STATS_ORACLE = _TOKS_CTE + f"""
@@ -464,11 +466,11 @@ SELECT doc_id,
   CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(toks)
     AS stopword_ratio,
   CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
-    / length(text) AS punct_ratio,
+    / NULLIF(length(text), 0) AS punct_ratio,
   (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
     + (CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(toks)) * 0.4
     + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-       AS DOUBLE) / length(text)) * 0.2 AS quality_score
+       AS DOUBLE) / NULLIF(length(text), 0)) * 0.2 AS quality_score
 FROM t
 """
 
@@ -499,11 +501,11 @@ def _lang_id_oracle() -> str:
 
 
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from sptag_spark.functions.text import with_text_stats
+    from sptag_spark.functions.text import with_text_stats_arrow
 
     docs = _documents(spark, sf_dir).select("doc_id", "lang", "source", "text")
     return (
-        with_text_stats(docs)
+        with_text_stats_arrow(docs)
         .filter("quality_score >= 0.5 AND n_ws_tokens BETWEEN 10 AND 1000 "
                 "AND punct_ratio < 0.1")
         .select("doc_id", "lang", "source", "n_ws_tokens", "quality_score")
@@ -514,11 +516,11 @@ _QUALITY_FILTER_ORACLE = _TOKS_CTE + f""",
 f AS (SELECT doc_id,
   CAST(len(toks) AS BIGINT) AS n_ws_tokens,
   CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-    AS DOUBLE) / length(text) AS punct_ratio,
+    AS DOUBLE) / NULLIF(length(text), 0) AS punct_ratio,
   (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 0.4
     + (CAST(len(list_filter(toks, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(toks)) * 0.4
     + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
-       AS DOUBLE) / length(text)) * 0.2 AS quality_score
+       AS DOUBLE) / NULLIF(length(text), 0)) * 0.2 AS quality_score
 FROM t)
 SELECT d.doc_id, d.lang, d.source, f.n_ws_tokens, f.quality_score
 FROM documents d JOIN f ON d.doc_id = f.doc_id

@@ -63,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from sptag_spark.functions.text import with_text_stats
+    from sptag_spark.functions.text import with_text_stats_arrow
     from sptag_spark.operators.corpus import (
         contamination_report, pack_chunks, repetition_stats, weighted_mix,
     )
@@ -91,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
         return df
 
     # 1. quality + repetition gates
-    scored = with_text_stats(docs.select("doc_id", "text")) \
+    scored = with_text_stats_arrow(docs.select("doc_id", "text")) \
         .select("doc_id", "quality_score")
     rep = repetition_stats(docs).select("doc_id", "rep_ratio")
     keep_ids = (

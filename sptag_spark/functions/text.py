@@ -75,7 +75,12 @@ def text_quality_features(text: Column) -> dict[str, Column]:
     n_distinct = F.size(F.array_distinct(toks))
     n_stop = stopword_count(text)
     n_punct = punct_count(text)
-    n_chars = F.length(text)
+    # NULLIF-guarded: empty text has length 0, and under ANSI mode a
+    # plain division ERRORS the whole job on the first empty document.
+    # punct_ratio (and therefore quality_score) is NULL for empty docs —
+    # quality gates treat that as "fails the filter". Mirrored in the
+    # SQL oracles with NULLIF(length(text), 0).
+    n_chars = F.nullif(F.length(text), F.lit(0))
     sum_word_len = F.aggregate(
         toks, F.lit(0).cast("long"), lambda s, t: s + F.length(t)
     )
@@ -266,3 +271,89 @@ def fingerprints_arrow(
     return src.mapInArrow(
         kernel, schema=f"_id {id_type}, fp string, minhash1 string"
     ).withColumnRenamed("_id", id_col)
+
+
+def with_text_stats_arrow(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Arrow twin of with_text_stats — value-identical (tested: exact
+    ints, same-order IEEE double arithmetic, NULL text -> all-NULL stats,
+    empty text -> NULL punct_ratio/quality_score) and thread-scalable:
+    the JVM split/filter/array churn is the single-JVM scaling
+    bottleneck (see operators/dedup.py minhash_signature_arrow).
+    Tokenization twins: Java trim == strip(chars <= U+0020); Java \\s ==
+    Python re.ASCII \\s; the BPE/punct regexes are ASCII classes."""
+    import pyarrow as pa
+
+    stat_fields = (
+        "n_ws_tokens bigint, n_bpe_tokens bigint, n_distinct_tokens "
+        "bigint, n_stopwords bigint, n_punct bigint, avg_word_len "
+        "double, distinct_ratio double, stopword_ratio double, "
+        "punct_ratio double, quality_score double"
+    )
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema
+    ) + ", " + stat_fields
+    sw = frozenset(STOPWORDS)
+    in_names = [f.name for f in df.schema]  # plain list: the kernel must
+    # not reference `df` (it would drag SparkContext into the closure)
+    tidx = in_names.index(text_col)
+    java_ws = "".join(chr(i) for i in range(33))
+
+    def kernel(batches):
+        import re
+
+        r_split = re.compile(r"\s+", re.ASCII)
+        r_bpe = re.compile(BPE_PATTERN, re.ASCII)
+        r_alnum = re.compile(r"[^a-zA-Z0-9\s]", re.ASCII)
+        for batch in batches:
+            cols = {k: [] for k in (
+                "nw", "nb", "nd", "ns", "np", "avg", "dr", "sr", "pr", "q",
+            )}
+            for txt in batch.column(tidx).to_pylist():
+                if txt is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                toks = r_split.split(txt.strip(java_ws))
+                n = len(toks)
+                nd = len(set(toks))
+                ns = sum(1 for t in toks if t in sw)
+                np_ = len(r_alnum.findall(txt))
+                nc = len(txt)
+                swl = sum(len(t) for t in toks)
+                avg = float(swl) / n
+                dr = float(nd) / n
+                sr = float(ns) / n
+                pr = float(np_) / nc if nc else None
+                q = (dr * 0.4 + sr * 0.4 + (1.0 - pr) * 0.2) \
+                    if pr is not None else None
+                for k, v in (("nw", n), ("nb", len(r_bpe.findall(txt))),
+                             ("nd", nd), ("ns", ns), ("np", np_),
+                             ("avg", avg), ("dr", dr), ("sr", sr),
+                             ("pr", pr), ("q", q)):
+                    cols[k].append(v)
+            yield pa.record_batch(
+                list(batch.columns) + [
+                    pa.array(cols["nw"], pa.int64()),
+                    pa.array(cols["nb"], pa.int64()),
+                    pa.array(cols["nd"], pa.int64()),
+                    pa.array(cols["ns"], pa.int64()),
+                    pa.array(cols["np"], pa.int64()),
+                    pa.array(cols["avg"], pa.float64()),
+                    pa.array(cols["dr"], pa.float64()),
+                    pa.array(cols["sr"], pa.float64()),
+                    pa.array(cols["pr"], pa.float64()),
+                    pa.array(cols["q"], pa.float64()),
+                ],
+                names=in_names + [
+                    "n_ws_tokens", "n_bpe_tokens", "n_distinct_tokens",
+                    "n_stopwords", "n_punct", "avg_word_len",
+                    "distinct_ratio", "stopword_ratio", "punct_ratio",
+                    "quality_score",
+                ],
+            )
+
+    from sptag_spark.operators.dedup import _ensure_parallel
+
+    return _ensure_parallel(df).mapInArrow(kernel, schema=schema)

@@ -133,3 +133,39 @@ def test_fingerprints_arrow_bit_identical(spark):
     g = {r["doc_id"]: (r["fp"], r["minhash1"])
          for r in fingerprints_arrow(edge).collect()}
     assert e == g and g[3] == (None, None)
+
+
+def test_with_text_stats_arrow_bit_identical(spark):
+    """Arrow twin of with_text_stats: exact ints, same-order IEEE
+    doubles, NULL text -> all NULL, empty text -> NULL
+    punct_ratio/quality_score."""
+    import math
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sptag_spark.functions.text import (
+        with_text_stats, with_text_stats_arrow,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    edge = spark.createDataFrame(
+        [(100001, ""), (100002, None), (100003, "  x \t Y!  "),
+         (100004, "a"), (100005, "the the the of 42 . ,")],
+        StructType([StructField("doc_id", LongType()),
+                    StructField("text", StringType())]),
+    )
+    src = docs.select("doc_id", "text").unionByName(edge)
+
+    def key(rows):
+        out = {}
+        for r in rows:
+            d = r.asDict()
+            out[d.pop("doc_id")] = tuple(
+                (v if not isinstance(v, float) or not math.isnan(v)
+                 else "nan")
+                for v in (d[c] for c in sorted(d)))
+        return out
+
+    a = key(with_text_stats(src).collect())
+    b = key(with_text_stats_arrow(src).collect())
+    assert a == b and len(a) == src.count()
