@@ -265,8 +265,10 @@ def fingerprints_arrow(
                 names=["_id", "fp", "minhash1"],
             )
 
-    src = df.select(F.col(id_col).alias("_id"),
-                    F.col(text_col).alias("_text"))
+    from sptag_spark.operators.dedup import _ensure_parallel
+
+    src = _ensure_parallel(df).select(F.col(id_col).alias("_id"),
+                                      F.col(text_col).alias("_text"))
     id_type = df.schema[id_col].dataType.simpleString()
     return src.mapInArrow(
         kernel, schema=f"_id {id_type}, fp string, minhash1 string"
@@ -298,7 +300,6 @@ def with_text_stats_arrow(
     in_names = [f.name for f in df.schema]  # plain list: the kernel must
     # not reference `df` (it would drag SparkContext into the closure)
     tidx = in_names.index(text_col)
-    java_ws = "".join(chr(i) for i in range(33))
 
     def kernel(batches):
         import re
@@ -315,7 +316,7 @@ def with_text_stats_arrow(
                     for k in cols:
                         cols[k].append(None)
                     continue
-                toks = r_split.split(txt.strip(java_ws))
+                toks = r_split.split(txt.strip(" "))
                 n = len(toks)
                 nd = len(set(toks))
                 ns = sum(1 for t in toks if t in sw)

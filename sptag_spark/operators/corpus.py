@@ -67,9 +67,8 @@ def _exploded_shingles_arrow(
         r_punct = re.compile(r"[^a-z0-9\s]", re.ASCII)
         r_ws = re.compile(r"\s+", re.ASCII)
         for batch in batches:
-            out_ids, out_counts, out_sh = [], [], []
-            for rid, txt in zip(batch.column("_id").to_pylist(),
-                                batch.column("_text").to_pylist()):
+            out_idx, out_counts, out_sh = [], [], []
+            for ridx, txt in enumerate(batch.column("_text").to_pylist()):
                 if txt is None:
                     shingles = [None]
                 else:
@@ -83,10 +82,14 @@ def _exploded_shingles_arrow(
                         ))
                     else:
                         shingles = [nm]
-                out_ids.extend([rid] * len(shingles))
+                out_idx.extend([ridx] * len(shingles))
                 out_counts.extend([len(shingles)] * len(shingles))
                 out_sh.extend(shingles)
-            cols = [pa.array(out_ids)]
+            # take() replicates the ORIGINAL id column by row index —
+            # exact type (int/long/string) and null preservation, unlike
+            # pa.array(values) whose inferred int64 crashes non-bigint
+            # id schemas at read time
+            cols = [batch.column("_id").take(pa.array(out_idx, pa.int32()))]
             names = ["_id"]
             if with_count:
                 cols.append(pa.array(out_counts, pa.int64()))
@@ -135,43 +138,41 @@ def contamination_report(
     """
     # Shingle explosion happens in a Python kernel (char-identical
     # strings to word_shingles, thread-scalable — the JVM string-churn
-    # law); the per-doc shingle count rides every exploded row, so the
-    # base frame is a map-side-combinable first() per doc (each doc's
-    # rows are kernel-contiguous — one partial row per doc reaches the
-    # shuffle), not a second shingle pass.
+    # law), and the whole report is ONE linear branch: LEFT-join every
+    # exploded shingle row against the broadcast benchmark set, then a
+    # single per-doc aggregate (n_sh rides every row; countDistinct
+    # ignores the nulls of non-hit rows). One kernel execution and one
+    # corpus scan BY CONSTRUCTION — an earlier two-branch shape (hits +
+    # base) re-ran the kernel because a ReusedExchange inside one
+    # branch's subtree broke canonical equality of the parent exchanges.
     c_sh = _exploded_shingles_arrow(
         corpus, id_col, text_col, n, with_count=True
     )
     b_sh = _exploded_shingles_arrow(
         benchmark, bench_id_col, bench_text_col, n, with_count=False
     ).select(F.col("_id").alias("_bid"), "_sh").distinct()
-    hits = (
-        c_sh.join(F.broadcast(b_sh), "_sh")
+    per_doc = (
+        c_sh.join(F.broadcast(b_sh), "_sh", "left")
         .groupBy("_id")
         .agg(
-            F.countDistinct("_sh").alias("n_hit"),
+            F.first("_n_sh").alias("n_sh"),
+            F.countDistinct(
+                F.when(F.col("_bid").isNotNull(), F.col("_sh"))
+            ).alias("n_hit"),
             F.countDistinct("_bid").alias("n_bench_docs"),
         )
     )
-    base = c_sh.groupBy("_id").agg(F.first("_n_sh").alias("n_sh"))
-    out = (
-        base.join(hits, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("n_sh").cast("long").alias("n_sh"),
-            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
-            F.coalesce(F.col("n_bench_docs"), F.lit(0)).cast("long")
-            .alias("n_bench_docs"),
-        )
-        .withColumn(
-            "contamination",
-            F.col("n_hit").cast("double") / F.col("n_sh"),
-        )
-        .withColumn(
-            "is_contaminated", (F.col("n_hit") > 0).cast("int")
-        )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.col("n_sh").cast("long").alias("n_sh"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.col("n_bench_docs").cast("long").alias("n_bench_docs"),
+    ).withColumn(
+        "contamination",
+        F.col("n_hit").cast("double") / F.col("n_sh"),
+    ).withColumn(
+        "is_contaminated", (F.col("n_hit") > 0).cast("int")
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -434,8 +435,6 @@ def repetition_stats_arrow(
     to Spark's double division)."""
     import pyarrow as pa
 
-    java_ws = "".join(chr(i) for i in range(33))
-
     def kernel(batches):
         import re
         from collections import Counter
@@ -452,7 +451,7 @@ def repetition_stats_arrow(
                     tc.append(1)
                     rr.append(1.0)
                     continue
-                trimmed = txt.strip(java_ws)
+                trimmed = txt.strip(" ")
                 toks = r_split.split(trimmed)
                 if len(toks) >= 2:
                     bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]

@@ -333,7 +333,9 @@ def test_repetition_arrow_matches_relational(spark, docs):
     from pyspark.sql import functions as F  # noqa: F401
     from pyspark.sql.types import LongType, StringType, StructField, StructType
     edge = spark.createDataFrame(
-        [(1, "one"), (2, ""), (3, "  x \t y  "), (4, "b a b a b a")],
+        [(1, "one"), (2, ""), (3, "  x \t y  "), (4, "b a b a b a"),
+         # non-space edge whitespace: Spark trim strips spaces ONLY
+         (5, "\tx y\n"), (6, "\n\nx x x\n"), (7, "\t")],
         StructType([StructField("doc_id", LongType()),
                     StructField("text", StringType())]),
     )
@@ -342,3 +344,26 @@ def test_repetition_arrow_matches_relational(spark, docs):
     eb = {r["doc_id"]: (r["n_bigrams"], r["top_bigram"], r["top_count"])
           for r in _repetition_stats_relational(edge).collect()}
     assert ea == eb
+
+
+def test_contamination_int_and_string_ids(spark):
+    """The shingle kernel must preserve the exact id type (int ids
+    crashed an earlier version that rebuilt ids with inferred int64)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType,
+    )
+
+    for id_type, mk in ((IntegerType(), lambda i: i),
+                        (StringType(), lambda i: f"d{i}")):
+        df = spark.createDataFrame(
+            [(mk(i), f"w{i} common words here w{i}") for i in range(20)],
+            StructType([StructField("doc_id", id_type),
+                        StructField("text", StringType())]),
+        )
+        rep = contamination_report(
+            df, df.filter(F.col("doc_id").isin([mk(0), mk(1)]))
+        )
+        out = rep.collect()
+        assert len(out) == 20
+        assert all(r["is_contaminated"] == 1 for r in out)  # shared 3-gram

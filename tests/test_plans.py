@@ -286,3 +286,19 @@ def test_contamination_broadcasts_benchmark(docs):
     )
     plan = plan_of(df)
     assert "BroadcastExchange" in plan
+
+
+def test_contamination_kernel_runs_once(spark, docs):
+    """The corpus shingle kernel must execute exactly once (a two-branch
+    shape re-ran it: ReusedExchange inside one branch's subtree broke
+    canonical equality of the parent exchanges)."""
+    from sptag_spark.operators.corpus import contamination_report
+
+    df = contamination_report(
+        docs.filter("doc_id % 10 <> 0"), docs.filter("doc_id % 10 = 0")
+    )
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    # one kernel for the corpus + one for the benchmark side
+    assert final.count("MapInArrow") == 2

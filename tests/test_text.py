@@ -150,7 +150,11 @@ def test_with_text_stats_arrow_bit_identical(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     edge = spark.createDataFrame(
         [(100001, ""), (100002, None), (100003, "  x \t Y!  "),
-         (100004, "a"), (100005, "the the the of 42 . ,")],
+         (100004, "a"), (100005, "the the the of 42 . ,"),
+         # leading/trailing NON-SPACE whitespace: Spark's trim strips
+         # only spaces (SPARK-17299) so these produce empty edge tokens
+         (100006, "\tx y\n"), (100007, "\n\nx x x\n"),
+         (100008, "\t"), (100009, " \t mixed pad\r\n ")],
         StructType([StructField("doc_id", LongType()),
                     StructField("text", StringType())]),
     )

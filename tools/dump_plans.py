@@ -181,11 +181,13 @@ def main() -> int:
         ),
         (
             "Benchmark decontamination",
-            "The benchmark shingle set (eval corpora — small at any "
-            "training scale) is aggregated and BROADCAST; the training "
-            "corpus streams through the hit join map-side and shuffles "
-            "only the hit rows for the per-doc aggregate. The per-doc "
-            "shingle counts reuse the corpus shingle Exchange.",
+            "ONE linear branch: the corpus shingle kernel (Python, "
+            "thread-scalable) executes exactly once (MapInArrow appears "
+            "once per side — asserted in tests/test_plans.py), LEFT-"
+            "joins map-side against the BROADCAST benchmark shingle "
+            "set, and a single per-doc aggregate computes counts and "
+            "hit stats together (partial aggregation dedupes exploded "
+            "rows before the one shuffle).",
             _decontaminate(docs),
         ),
     ]
