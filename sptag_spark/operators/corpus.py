@@ -83,7 +83,8 @@ def _exploded_shingles_arrow(
                     else:
                         shingles = [nm]
                 out_idx.extend([ridx] * len(shingles))
-                out_counts.extend([len(shingles)] * len(shingles))
+                if with_count:
+                    out_counts.extend([len(shingles)] * len(shingles))
                 out_sh.extend(shingles)
             # take() replicates the ORIGINAL id column by row index —
             # exact type (int/long/string) and null preservation, unlike
@@ -132,9 +133,11 @@ def contamination_report(
 
     Scale: the benchmark side (eval sets — thousands of docs, not
     billions) is aggregated to distinct shingles and BROADCAST; the
-    corpus streams through a map-side hash join, so the only shuffle is
-    the per-doc aggregation of hit rows (a small fraction of the corpus).
-    The corpus itself is never re-partitioned.
+    corpus streams through the map-side LEFT join, and the one shuffle
+    is the per-doc aggregate over the exploded shingle rows (partial
+    aggregation dedupes (doc, shingle, bench-doc) triples before the
+    exchange). One corpus scan and one shingle-kernel execution by
+    construction.
     """
     # Shingle explosion happens in a Python kernel (char-identical
     # strings to word_shingles, thread-scalable — the JVM string-churn
