@@ -1256,6 +1256,13 @@ FROM documents WHERE {_MIX_KEY_SQL} < {_MIX_RATE_SQL}
 _MIX_W_SQL = ("CASE source WHEN 'src0' THEN 2300 WHEN 'src1' THEN 1000 "
               "WHEN 'src2' THEN 500 ELSE 0 END")
 
+# weighted_mix's fractional-copy coin uses salt 'mixcopy' (distinct from
+# stratified_sample's 'mix' so composing sample+mix keeps the coin
+# independent of the survival filter).
+_MIXCOPY_KEY_SQL = (
+    "(('0x' || substr(md5('mixcopy|' || CAST(doc_id AS VARCHAR)), "
+    "1, 8))::BIGINT % 1000)")
+
 
 def _q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixture weighting with UPsampling (epochs-per-source): weight
@@ -1270,7 +1277,7 @@ def _q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WEIGHTED_MIX_ORACLE = f"""
 WITH w AS (SELECT *, CAST({_MIX_W_SQL} AS BIGINT) AS wt,
-                  {_MIX_KEY_SQL} AS k
+                  {_MIXCOPY_KEY_SQL} AS k
            FROM documents),
 c AS (SELECT *, CAST(wt // 1000
              + CASE WHEN k < wt % 1000 THEN 1 ELSE 0 END AS BIGINT)
@@ -1325,7 +1332,8 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOP_NGRAMS_ORACLE = _SHINGLES_CTE + """,
 e AS (SELECT unnest(sh) AS ngram FROM s),
-c AS (SELECT ngram, count(*) AS df_docs FROM e GROUP BY 1),
+c AS (SELECT ngram, count(*) AS df_docs FROM e
+      WHERE ngram IS NOT NULL GROUP BY 1),
 r AS (SELECT ngram, CAST(df_docs AS BIGINT) AS df_docs,
         CAST(row_number() OVER (ORDER BY df_docs DESC, ngram ASC) AS INT)
           AS rank

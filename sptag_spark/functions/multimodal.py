@@ -231,7 +231,13 @@ def decode_audio_real(data: bytes, meta: dict) -> np.ndarray:
             "not available in this environment; WAV/PCM decodes natively"
         )
     with wave.open(io.BytesIO(data), "rb") as f:
-        assert f.getsampwidth() == 2, "only 16-bit PCM supported"
+        if f.getsampwidth() != 2:
+            # explicit error, not assert: under python -O an 8/32-bit
+            # WAV would otherwise be silently reinterpreted as int16
+            raise NotImplementedError(
+                f"only 16-bit PCM supported (got sampwidth="
+                f"{f.getsampwidth()})"
+            )
         frames = np.frombuffer(
             f.readframes(f.getnframes()), dtype=np.int16
         )

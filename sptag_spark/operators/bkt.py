@@ -62,6 +62,7 @@ def hierarchical_heads_fit(
     out_schema = StructType([
         StructField("cell", IntegerType()),
         StructField("fine_idx", IntegerType()),
+        StructField("n_fine", IntegerType()),
         StructField("centroid", ArrayType(DoubleType())),
     ])
 
@@ -78,6 +79,7 @@ def hierarchical_heads_fit(
         return pd.DataFrame({
             "cell": [cell] * kk,
             "fine_idx": list(range(kk)),
+            "n_fine": [kk] * kk,
             "centroid": [list(map(float, c)) for c in C],
         })
 
@@ -88,18 +90,19 @@ def hierarchical_heads_fit(
         .collect()
     )
     fine = np.zeros((k1, k2, dim))
-    seen = np.zeros(k1, dtype=bool)
+    n_fine = np.zeros(k1, dtype=np.int64)
     for r in rows:
         fine[r["cell"], r["fine_idx"]] = r["centroid"]
-        seen[r["cell"]] = True
-    # pad: short cells repeat their fine_idx 0 centroid; empty cells
-    # repeat the coarse centroid (nothing assigns there anyway)
+        n_fine[r["cell"]] = r["n_fine"]
+    # pad: short cells repeat their fine_idx 0 centroid for the unused
+    # slots >= n_fine (explicit count from fit_cell — a legitimately
+    # all-zero fine centroid is NOT mistaken for padding); empty cells
+    # repeat the coarse centroid (nothing assigns there anyway). Padded
+    # copies tie exactly with the original and argmax's first-index rule
+    # means they are never selected.
     for c in range(k1):
-        base = fine[c, 0] if seen[c] else coarse[c]
-        mask = (fine[c] == 0).all(axis=1)
-        if seen[c]:
-            mask[0] = False
-        fine[c, mask] = base
+        base = fine[c, 0] if n_fine[c] > 0 else coarse[c]
+        fine[c, n_fine[c]:] = base
     return coarse, fine
 
 

@@ -376,7 +376,7 @@ def weighted_mix(
     strata_col: str = "source",
     id_col: str = "doc_id",
     denom: int = 1000,
-    salt: str = "mix",
+    salt: str = "mixcopy",
     default_weight: int = 0,
 ) -> DataFrame:
     """Mixture weighting with UPsampling: weight w (per-mille) > denom
@@ -384,9 +384,14 @@ def weighted_mix(
     probability (w mod denom)/denom — the 'epochs per source' knob of
     LLM data recipes (e.g. Wikipedia x3.4, CommonCrawl x0.6).
 
-    Emits rows with copy_idx in [0, n_copies). Fractional copies use the
-    same md5 key as `stratified_sample`, so a source at weight 1000 is
-    byte-identical to the unsampled source.
+    Emits rows with copy_idx in [0, n_copies). The fractional-copy coin
+    deliberately uses a DIFFERENT default salt ('mixcopy') from
+    `stratified_sample`'s ('mix'): with a shared salt, composing
+    sample-then-mix perfectly correlates the survival filter with the
+    extra-copy coin (every survivor of rate r <= w%denom gets the extra
+    copy, inflating the effective weight). A source at weight == denom
+    is byte-identical to the unsampled source under ANY salt
+    (w % denom == 0 makes the coin irrelevant).
 
     Scale: map-side only — explode(sequence(...)) generates copies in the
     scan task; no shuffle. Duplicated rows get distinct copy_idx so a
@@ -577,7 +582,12 @@ def top_ngrams(
         F.explode_outer(
             word_shingles(F.col(text_col), n)
         ).alias("ngram"),
-    )
+    ).filter(F.col("ngram").isNotNull())
+    # null-text docs explode to a NULL ngram (explode_outer keeps the
+    # row; see CLAUDE.md rule 12 for why explode_outer) — drop them
+    # before the count so a NULL never reaches the top-k tie boundary,
+    # where Spark's NULLS-FIRST ASC would diverge from the oracle's
+    # NULLS-LAST default.
     gcols = [per_group] if per_group else []
     counts = sh.groupBy(*gcols, "ngram").agg(
         F.count(F.lit(1)).alias("df_docs")

@@ -116,21 +116,41 @@ class SnapshotTable:
         if not snaps:
             raise ValueError(f"no snapshots at or before version {version}")
         parts = []
-        data_cols: list[tuple[str, str]] | None = None
+        # data_cols = ordered UNION of columns across all non-delete
+        # snapshots in the replay range: a later upsert that ADDS a
+        # column keeps it (older snapshots null-fill), instead of the
+        # first snapshot's schema silently dropping it — and dropping it
+        # permanently at the next checkpoint. Same name at a different
+        # type is genuine drift we cannot merge: raise.
+        data_cols: list[tuple[str, str]] = []
+        col_types: dict[str, str] = {}
+        for s in snaps:
+            if s.get("op") == "delete":
+                continue
+            df = spark.read.parquet(s["path"])
+            for c in df.columns:
+                if c in keys:
+                    continue
+                t = df.schema[c].dataType.simpleString()
+                if c not in col_types:
+                    col_types[c] = t
+                    data_cols.append((c, t))
+                elif col_types[c] != t:
+                    raise ValueError(
+                        f"schema drift on column {c!r}: snapshot "
+                        f"v{s['version']} has type {t}, earlier "
+                        f"snapshots have {col_types[c]}"
+                    )
         for s in snaps:
             df = spark.read.parquet(s["path"])
             is_del = s.get("op") == "delete"
-            if not is_del and data_cols is None:
-                data_cols = [
-                    (c, df.schema[c].dataType.simpleString())
-                    for c in df.columns if c not in keys
-                ]
             parts.append(
                 (df if not is_del else df.select(*keys))
                 .withColumn("__v", F.lit(s["version"]))
                 .withColumn("__del", F.lit(1 if is_del else 0))
             )
-        # align schemas (delete snapshots carry only the key columns)
+        # align schemas (delete snapshots carry only the key columns;
+        # pre-drift snapshots lack later-added columns)
         aligned = []
         for p in parts:
             for c, t in (data_cols or []):

@@ -71,3 +71,33 @@ def test_1024_heads_recall_gate_sf01(spark, tmp_path):
     # 32 of 1024 buckets probed (~3% of the corpus scanned): random
     # floor ~0.03; gate an order of magnitude above it.
     assert r >= 0.3, f"recall@10 = {r}"
+
+
+def test_all_zero_fine_centroid_survives_padding(spark):
+    """A cell whose members are zero vectors yields a legitimately
+    all-zero fine centroid; explicit per-cell counts (n_fine) must keep
+    it instead of inferring 'padding' from zero rows and overwriting it
+    (ADVICE r2). Init = first k2 id-sorted rows, so with zeros at the
+    low ids the zero centroid deterministically lands at fine_idx 1."""
+    rows = ([(i, [0.0, 0.0]) for i in range(4)]
+            + [(i, [1.0, 1.0]) for i in range(4, 8)])
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    coarse, fine = hierarchical_heads_fit(
+        df, k1=1, k2=2, coarse_iters=2, cell_iters=6)
+    zero_rows = (fine[0] == 0).all(axis=1)
+    assert zero_rows.sum() == 1, fine[0]
+    assert any((fine[0] == 1.0).all(axis=1)), fine[0]
+
+
+def test_short_cell_padding_never_selected(spark):
+    """A cell with fewer members than k2 pads slots >= n_fine by
+    repeating fine_idx 0: ties resolve to the original via argmax
+    first-index, so padded slots win no assignments."""
+    rows = [(i, [float(i % 2), 1.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    coarse, fine = hierarchical_heads_fit(
+        df, k1=1, k2=8, coarse_iters=2, cell_iters=4)
+    assert fine.shape == (1, 8, 2)
+    out = hierarchical_assign(df, coarse, fine).collect()
+    # only real slots (cell had 3 members -> <= 3 distinct buckets)
+    assert all(r["bucket"] < 3 for r in out)

@@ -367,3 +367,18 @@ def test_contamination_int_and_string_ids(spark):
         out = rep.collect()
         assert len(out) == 20
         assert all(r["is_contaminated"] == 1 for r in out)  # shared 3-gram
+
+
+def test_top_ngrams_drops_null_text_docs(spark):
+    """Null/short-text docs explode to a NULL ngram row; it must never
+    appear in the output (and thus never hit the NULLS-FIRST vs
+    NULLS-LAST tie-boundary divergence vs the oracle — ADVICE r2)."""
+    from sptag_spark.operators.corpus import top_ngrams
+
+    rows = [(0, None), (1, "a b c"), (2, "a b c"), (3, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = top_ngrams(df, n=3, k=10).collect()
+    assert all(r["ngram"] is not None for r in out)
+    assert [r["ngram"] for r in out] == ["a b c"]
+    per = top_ngrams(df, n=3, k=10, per_group=None)
+    assert per.filter("ngram IS NULL").count() == 0

@@ -195,3 +195,23 @@ def test_truncated_pnm_raises_instead_of_hanging():
                 b"P6\nx y\n255\n"):
         with _pytest.raises(ValueError):
             decode_image_real(bad, {})
+
+
+def test_decode_audio_rejects_non_16bit_pcm():
+    """8-bit WAV must raise (explicit NotImplementedError, not a bare
+    assert that python -O strips into silent int16 garbage)."""
+    import io
+    import wave
+
+    import pytest
+
+    from sptag_spark.functions.multimodal import decode_audio_real
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(1)  # 8-bit PCM
+        f.setframerate(8000)
+        f.writeframes(bytes(range(16)))
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_audio_real(buf.getvalue(), {})

@@ -74,9 +74,32 @@ def test_weighted_mix_matches_key_formula(spark, n, w0, w1):
     want = set()
     for i, s in rows:
         w = w0 if s == "s0" else w1
-        copies = w // 1000 + (1 if _md5_key(i) < w % 1000 else 0)
+        copies = w // 1000 + (1 if _md5_key(i, "mixcopy") < w % 1000 else 0)
         want |= {(i, c) for c in range(copies)}
     assert got == want
+
+
+def test_sample_then_mix_coins_are_independent(spark):
+    """Composing stratified_sample + weighted_mix with the DEFAULT salts
+    must not correlate the survival filter with the fractional-copy coin
+    (the old shared-salt bug: rate 500 + weight 1500 gave every survivor
+    the extra copy -> effective weight 2000, not 1500)."""
+    n, rate, weight = 4000, 500, 1500
+    df = spark.createDataFrame(
+        [(i, "s0") for i in range(n)], ["doc_id", "source"]
+    )
+    out = weighted_mix(stratified_sample(df, {"s0": rate}),
+                       {"s0": weight})
+    survivors = {i for i in range(n) if _md5_key(i, "mix") < rate}
+    copies = out.groupBy("doc_id").count().collect()
+    assert {r["doc_id"] for r in copies} == survivors
+    extra = sum(1 for r in copies if r["count"] == 2)
+    # with independent coins ~50% of survivors get the second copy;
+    # the correlated bug gives 100%. Exact expected count from formula:
+    want_extra = sum(1 for i in survivors
+                     if _md5_key(i, "mixcopy") < weight % 1000)
+    assert extra == want_extra
+    assert 0.35 < extra / len(survivors) < 0.65
 
 
 @settings(max_examples=8, deadline=None,

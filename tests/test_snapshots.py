@@ -120,3 +120,32 @@ def test_kv_checkpoint_compacts_replay(spark, tmp_path):
     old = {r["k"]: r["p"]
            for r in t.read_kv(spark, ["k"], version=1).collect()}
     assert old == {1: "a", 2: "b"}
+
+
+def test_kv_schema_evolution_keeps_added_columns(spark, tmp_path):
+    """A later upsert that ADDS a column must keep it in the merged view
+    (older snapshots null-fill) and survive checkpointing — the old
+    first-snapshot-wins column list silently and permanently dropped it
+    (ADVICE r2)."""
+    t = SnapshotTable(str(tmp_path / "kv"))
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "p"]))
+    t.upsert(spark.createDataFrame(
+        [(2, "b2", 99), (3, "c", 30)], ["k", "p", "extra"]))
+    cur = {r["k"]: (r["p"], r["extra"])
+           for r in t.read_kv(spark, ["k"]).collect()}
+    assert cur == {1: ("a", None), 2: ("b2", 99), 3: ("c", 30)}
+    # the added column survives compaction too
+    t.checkpoint(spark, ["k"])
+    after = {r["k"]: (r["p"], r["extra"])
+             for r in t.read_kv(spark, ["k"]).collect()}
+    assert after == cur
+
+
+def test_kv_schema_type_conflict_raises(spark, tmp_path):
+    """Same column name at a different type is unmergeable drift: loud
+    error instead of silent coercion/drop."""
+    t = SnapshotTable(str(tmp_path / "kv"))
+    t.upsert(spark.createDataFrame([(1, 10)], ["k", "v"]))
+    t.upsert(spark.createDataFrame([(2, "s")], ["k", "v"]))
+    with pytest.raises(ValueError, match="schema drift"):
+        t.read_kv(spark, ["k"]).collect()
