@@ -1,0 +1,41 @@
+"""Zero-copy Arrow list-column -> numpy matrix ingestion for the vector
+kernels (assign/probe/sketch/ADC/rotate).
+
+`np.array(col.to_pylist())` materializes a Python list-of-lists per batch
+— per-element PyObject allocation, exactly the allocator churn the Arrow
+workers exist to avoid (CLAUDE.md rule 13). For fixed-dim vector columns
+the ListArray's values buffer IS the matrix: reshape it (one dtype cast
+at most; no per-element boxing). Ragged or null rows fall back to the
+copying path, preserving the previous contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def list_to_matrix(col, dtype) -> np.ndarray:
+    """pyarrow List/LargeList array of fixed-dim numeric vectors ->
+    (n, dim) numpy matrix of `dtype`.
+
+    Zero-copy on the values buffer when the source type already matches
+    `dtype`; otherwise one vectorized astype. Row boundaries come from
+    the offsets buffer (absolute indices into values, so sliced arrays
+    are handled); uniform widths are verified in O(n) int ops — trivial
+    next to the matmul the matrix feeds.
+    """
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offs)
+    dim = int(widths[0]) if len(widths) else 0
+    if col.null_count or dim == 0 or not (widths == dim).all():
+        return np.array(col.to_pylist(), dtype=dtype)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    flat = flat[offs[0]:offs[-1]]
+    return np.asarray(flat.reshape(n, dim), dtype=dtype)

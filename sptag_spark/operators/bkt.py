@@ -27,6 +27,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from sptag_spark.functions.vecarrow import list_to_matrix
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -136,10 +138,7 @@ def hierarchical_assign(
 
     def run(batches):
         for batch in batches:
-            col = batch.column(vec_col)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            X = np.array(col.to_pylist(), dtype=np.float64)
+            X = list_to_matrix(batch.column(vec_col), np.float64)
             if len(X) == 0:
                 buckets = np.array([], dtype=np.int64)
             else:
@@ -181,10 +180,7 @@ def _probe_buckets_hierarchical(
 
     def run(batches):
         for batch in batches:
-            col = batch.column(vec_col)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            X = np.array(col.to_pylist(), dtype=np.float64)
+            X = list_to_matrix(batch.column(vec_col), np.float64)
             if len(X) == 0:
                 continue
             qid = batch.column(id_col)

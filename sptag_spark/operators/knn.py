@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sptag_spark.functions.vecarrow import list_to_matrix
+
 
 def quantize(v: Column) -> Column:
     """array<float> -> array<bigint>, exact in both engines."""
@@ -202,10 +204,7 @@ def _with_lsh_sketch(q: DataFrame, bits: int = 32,
     def run(batches):
         planes = None
         for batch in batches:
-            col = batch.column("_q")
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            X = np.array(col.to_pylist(), dtype=np.int64)
+            X = list_to_matrix(batch.column("_q"), np.int64)
             if len(X) == 0:
                 sk = np.array([], dtype=np.int64)
             else:
@@ -481,10 +480,7 @@ def assign_buckets(
 
     def run(batches):
         for batch in batches:
-            col = batch.column("__q")
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            X = np.array(col.to_pylist(), dtype=np.int64)
+            X = list_to_matrix(batch.column("__q"), np.int64)
             if len(X) == 0:
                 buckets = np.array([], dtype=np.int64)
             else:
@@ -523,10 +519,7 @@ def _probe_buckets(
 
     def run(batches):
         for batch in batches:
-            col = batch.column("__q")
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            X = np.array(col.to_pylist(), dtype=np.int64)
+            X = list_to_matrix(batch.column("__q"), np.int64)
             if len(X) == 0:
                 continue
             b = top(X)                                  # (n, nprobe)

@@ -28,6 +28,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sptag_spark.functions.vecarrow import list_to_matrix
+
 from sptag_spark.operators.kmeans import kmeans_fit
 
 
@@ -168,10 +170,7 @@ def pq_adc_topk_int(
 
     def run(batches):
         for batch in batches:
-            col = batch.column("__q")
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            X = np.array(col.to_pylist(), dtype=np.int64)
+            X = list_to_matrix(batch.column("__q"), np.int64)
             if len(X) == 0:
                 adc = np.array([], dtype=np.int64)
             else:
@@ -291,10 +290,7 @@ def opq_rotate(
 
     def run(batches):
         for batch in batches:
-            col = batch.column(vec_col)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            X = np.array(col.to_pylist(), dtype=np.float64)
+            X = list_to_matrix(batch.column(vec_col), np.float64)
             rot = X @ R if len(X) else X.reshape(0, R.shape[1])
             yield pa.RecordBatch.from_arrays(
                 [batch.column(id_col),
