@@ -924,6 +924,114 @@ FROM codes ORDER BY adc_dist, vec_id LIMIT {topk}
 """
 
 
+def _q_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed SPANN search shape (ExtraStaticSearcher.h:260-411 +
+    PQQuantizer.h:111-130): persisted IVF postings carry PQ codes; the
+    probe ADC-scores a partition-pruned codes-only scan (embedding never
+    read below re-rank — plan asserted), then exact-re-ranks the top
+    `rerank` candidates. Deterministic end-to-end (md5 heads, md5
+    codebooks, exact int64 ADC), so the oracle replicates the whole
+    approximate pipeline."""
+    import tempfile
+
+    from sptag_spark.operators.ivfpq import ivf_pq_build, ivf_pq_probe
+
+    emb = _embeddings(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sptag_ivfpq_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ivf_pq_build(emb, n_centroids=32, path=path, m=4, k_codes=16)
+    return ivf_pq_probe(spark, path, emb.filter("vec_id < 8"),
+                        k=10, nprobe=4, rerank=40)
+
+
+def _ivf_pq_oracle(n_cent: int = 32, nprobe: int = 4, m: int = 4,
+                   k_codes: int = 16, dim: int = 64, rerank: int = 40,
+                   topk: int = 10) -> str:
+    """IVF + PQ-ADC + exact re-rank, replicated relationally: head
+    selection and codebooks are md5 samples, codes are per-subspace
+    min_by, ADC joins the per-query table CTE once per subspace, and the
+    re-rank window is the standard (cosine DESC, vec_id) tail."""
+    dsub = dim // m
+
+    def sq(s: int, a: str, b: str) -> str:
+        lo, hi = s * dsub + 1, (s + 1) * dsub + 1
+        return (f"list_sum(list_transform(range({lo}, {hi}), "
+                f"i -> ({a}.q[i] - {b}.cq[i]) * ({a}.q[i] - {b}.cq[i])))")
+
+    d_cols = ",\n    ".join(f"{sq(s, 'c', 'w')} AS d{s}" for s in range(m))
+    t_cols = ",\n    ".join(f"{sq(s, 'qy', 'w')} AS t{s}" for s in range(m))
+    code_cols = ",\n    ".join(
+        f"min_by(j, d{s} * 32 + j) AS c{s}" for s in range(m)
+    )
+    t_joins = "\n  ".join(
+        f"JOIN t t{s} ON t{s}.query_id = p.query_id AND t{s}.j = cd.c{s}"
+        for s in range(m)
+    )
+    adc_sum = " + ".join(f"t{s}.t{s}" for s in range(m))
+    return f"""
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+cent AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm FROM (
+    SELECT vec_id, q, nrm FROM n
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cent})),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT c.vec_id, ct.cid,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        {_COS.format(a='c', b='ct', bq='cq', bn='cnrm')} DESC, ct.cid) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, cid AS bucket FROM (
+    SELECT qy.vec_id AS query_id, ct.cid,
+      row_number() OVER (PARTITION BY qy.vec_id ORDER BY
+        {_COS.format(a='qy', b='ct', bq='cq', bn='cnrm')} DESC, ct.cid) AS rn
+    FROM n qy CROSS JOIN cent ct WHERE qy.vec_id < 8)
+  WHERE rn <= {nprobe}),
+cw AS (SELECT row_number() OVER (
+         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS j, q AS cq
+       FROM (SELECT vec_id, q FROM v
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k_codes})),
+d AS (SELECT c.vec_id, w.j,
+    {d_cols}
+  FROM v c CROSS JOIN cw w),
+codes AS (SELECT vec_id, {code_cols} FROM d GROUP BY vec_id),
+t AS (SELECT qy.vec_id AS query_id, w.j,
+    {t_cols}
+  FROM cw w CROSS JOIN (SELECT vec_id, q FROM v WHERE vec_id < 8) qy),
+adc_scored AS (
+  SELECT p.query_id, a.vec_id, CAST({adc_sum} AS BIGINT) AS adc
+  FROM probes p
+  JOIN assign a ON a.bucket = p.bucket
+  JOIN codes cd ON cd.vec_id = a.vec_id
+  {t_joins}
+  WHERE a.vec_id <> p.query_id),
+cand AS (SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS arn
+    FROM adc_scored)
+  WHERE arn <= {rerank}),
+rr AS (
+  SELECT cd.query_id, cd.vec_id,
+    {_COS.format(a='c', b='qy', bq='q', bn='nrm')} AS cosine
+  FROM cand cd
+  JOIN n c ON c.vec_id = cd.vec_id
+  JOIN n qy ON qy.vec_id = cd.query_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM rr)
+WHERE rank <= {topk}
+"""
+
+
 def _q_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert semantics (reference T1/T6): latest event per
     (user_id, event_type), driven through upsert_latest with the even
@@ -1372,6 +1480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filtered_knn_topk": _q_filtered_knn,
         "lsh_near_dup": _q_lsh_near_dup,
         "pq_adc_topk": _q_pq_adc,
+        "ivf_pq_adc_topk": _q_ivf_pq,
         "current_state_upsert": _q_current_state,
         "dedup_apply_anti": _q_dedup_apply,
         "rank_join_multi_index": _q_rank_join,
@@ -1420,6 +1529,7 @@ def oracle_sql() -> dict[str, str]:
         "filtered_knn_topk": _FILTERED_KNN_ORACLE,
         "lsh_near_dup": _LSH_NEAR_DUP_ORACLE,
         "pq_adc_topk": _pq_adc_oracle(4, 16, 64, 10),
+        "ivf_pq_adc_topk": _ivf_pq_oracle(),
         "current_state_upsert": _CURRENT_STATE_ORACLE,
         "dedup_apply_anti": _dedup_apply_oracle(12, 4, 0.5),
         "rank_join_multi_index": _RANK_JOIN_ORACLE,

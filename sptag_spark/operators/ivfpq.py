@@ -1,0 +1,241 @@
+"""IVF x PQ — quantized postings with ADC-scored pruned scans + exact
+re-rank: the composed SPANN search shape.
+
+The reference's disk search never scores full vectors during the posting
+scan: postings hold PQ codes, the query precomputes per-subspace ADC
+lookup tables, the scan accumulates table gathers, and only the best
+candidates are re-ranked exactly (ExtraStaticSearcher.h:260-411
+ProcessPosting; PQQuantizer.h:111-130 ADC tables). At 100 TB that is the
+difference between scanning m bytes/row and dim*4 bytes/row.
+
+Spark restatement — three cooperating plans, all deterministic:
+
+- build: ONE Arrow-kernel pass assigns the nearest md5-selected centroid
+  (bucket) AND encodes per-subspace argmin codes against md5-sampled
+  integer codebooks (exact int64 math, first-min tiebreak). Postings are
+  written partitionBy('bucket') carrying (row, bucket, codes); the
+  centroid + codebook tables land beside them.
+- ADC scan: a partition-PRUNED postings read of ONLY (id, bucket, codes)
+  — column pruning keeps the embedding out of the scan (plan-asserted)
+  — broadcast-joined with the (query_id, bucket) probe frame and a
+  per-query ADC-table frame; the score is m element_at gathers + adds,
+  whole-stage codegen, top-`rerank` per query by (adc ASC, id ASC).
+- re-rank: the surviving Q x rerank candidates broadcast back into a
+  second pruned postings read (id, embedding this time), exact
+  quantized-cosine top-k — identical scoring tail to every other knn
+  query (_score_candidates).
+
+Everything is integer or correctly-rounded IEEE on identical inputs, so
+the DuckDB oracle replicates build + ADC + re-rank hash-exactly; recall
+vs brute force is gated separately in tests (reference harness
+TruthSet.h:242-285).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from sptag_spark.functions.vecarrow import list_to_matrix
+from sptag_spark.operators.knn import (
+    _collect_centroids,
+    _nearest_centroid_kernel,
+    _probe_buckets,
+    _score_candidates,
+    quantize,
+    select_centroids,
+)
+from sptag_spark.operators.pq import pq_codebooks_md5
+
+
+def _encode_codes(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, dim) int64 -> (n, m) int32 per-subspace argmin codes (exact
+    integer squared-L2, numpy first-min == lowest-code tiebreak)."""
+    m, kk, dsub = codebooks.shape
+    codes = np.empty((len(X), m), dtype=np.int32)
+    for s in range(m):
+        sl = X[:, s * dsub:(s + 1) * dsub]
+        d = ((sl[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d.argmin(axis=1)
+    return codes
+
+
+def ivf_pq_build(
+    corpus: DataFrame,
+    n_centroids: int,
+    path: str,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build + persist the composed index: bucketed postings carrying PQ
+    codes (partitionBy bucket), the centroid table, and the integer
+    codebooks. One corpus pass, zero shuffle (quantize stays a JVM
+    expression; bucket + codes come from one Arrow kernel)."""
+    import pyarrow as pa
+
+    centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
+    codebooks = pq_codebooks_md5(corpus, m=m, k=k_codes,
+                                 id_col=id_col, vec_col=vec_col)
+    cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
+    top = _nearest_centroid_kernel(cent_ids, cent_mat, cent_norms, 1)
+    bucket_type = centroids.schema["centroid_id"].dataType
+    with_q = corpus.withColumn("__q", quantize(F.col(vec_col)))
+    out_schema = StructType(
+        list(corpus.schema.fields)
+        + [StructField("codes", ArrayType(IntegerType())),
+           StructField("bucket", bucket_type)]
+    )
+    out_names = [f.name for f in out_schema.fields]
+    n_sub = m
+
+    def run(batches):
+        for batch in batches:
+            X = list_to_matrix(batch.column("__q"), np.int64)
+            n = len(X)
+            if n == 0:
+                buckets = np.array([], dtype=np.int64)
+                codes_flat = np.array([], dtype=np.int32)
+            else:
+                buckets = top(X)[:, 0]
+                codes_flat = _encode_codes(X, codebooks).reshape(-1)
+            codes_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * n_sub, n_sub,
+                                   dtype=np.int32)),
+                pa.array(codes_flat, pa.int32()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(nm) for nm in out_names[:-2]]
+                + [codes_arr, pa.array(buckets)],
+                names=out_names,
+            )
+
+    coded = with_q.mapInArrow(run, schema=out_schema)
+    coded.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{path}/postings")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = corpus.sparkSession
+    book_rows = [
+        (int(s), int(j), [int(x) for x in codebooks[s, j]])
+        for s in range(m) for j in range(k_codes)
+    ]
+    spark.createDataFrame(
+        book_rows,
+        StructType([
+            StructField("s", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("cw", ArrayType(LongType())),
+        ]),
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def _read_codebooks(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["s"] for r in rows) + 1
+    kk = max(r["j"] for r in rows) + 1
+    dsub = len(rows[0]["cw"])
+    books = np.zeros((m, kk, dsub), dtype=np.int64)
+    for r in rows:
+        books[r["s"], r["j"]] = r["cw"]
+    return books
+
+
+def ivf_pq_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC-scored pruned scan + exact re-rank over a persisted ivf_pq
+    index. Returns (query_id, vec_id, cosine, rank) — the standard knn
+    output contract."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    books = _read_codebooks(spark, path)
+    m, kk, dsub = books.shape
+    probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col)
+    probe_rows = probes.collect()
+    buckets = sorted({r["bucket"] for r in probe_rows})
+    probes_local = spark.createDataFrame(probe_rows, schema=probes.schema)
+
+    # Per-query ADC tables: quantize with the SAME JVM expression the
+    # build used (HALF_UP), then tiny driver-side numpy — (Q, m, kk)
+    # int64 entries ride out as a broadcast frame.
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("_q")
+    ).collect()
+    tab_rows = []
+    for r in qrows:
+        qv = np.asarray(r["_q"], dtype=np.int64)
+        T = [
+            [int(x) for x in
+             ((books[s] - qv[s * dsub:(s + 1) * dsub]) ** 2).sum(axis=1)]
+            for s in range(m)
+        ]
+        tab_rows.append((r["query_id"], T))
+    tables = spark.createDataFrame(
+        tab_rows,
+        StructType([
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("_t", ArrayType(ArrayType(LongType()))),
+        ]),
+    )
+
+    # ADC scan: codes-only pruned read — the embedding column never
+    # enters this scan (column pruning; asserted in test_plans.py).
+    post_codes = (
+        spark.read.parquet(f"{path}/postings")
+        .select(id_col, "bucket", "codes")
+        .filter(F.col("bucket").isin(buckets))
+    )
+    adc = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("_t"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    scored = (
+        post_codes.join(F.broadcast(probes_local), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(tables), "query_id")
+        .withColumn("_adc", adc.cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        scored.withColumn("_arn", F.row_number().over(w))
+        .filter(F.col("_arn") <= rerank)
+        .select("query_id", id_col)
+    )
+
+    # Exact re-rank: second pruned read, embeddings for ONLY the
+    # surviving candidates (broadcast semi-shape join on id).
+    post_vec = (
+        spark.read.parquet(f"{path}/postings")
+        .select(id_col, "bucket", vec_col)
+        .filter(F.col("bucket").isin(buckets))
+        .drop("bucket")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    rr = (
+        post_vec.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qvec), "query_id")
+    )
+    return _score_candidates(rr, k, id_col, vec_col)
