@@ -251,11 +251,12 @@ def ivf_probe_hierarchical(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     predicate=None,
+    probe_mode: str = "auto",
 ) -> DataFrame:
     """Probe the persisted two-level index: descend the tiers for bucket
     ids, then the SHARED partition-pruned scoring tail
     (knn.probe_pruned_topk — one probe-kernel execution, optional
-    pushed metadata predicate)."""
+    pushed metadata predicate, driver/join probe-selection split)."""
     from sptag_spark.operators.knn import probe_pruned_topk
 
     c_rows = spark.read.parquet(f"{path}/coarse").collect()
@@ -274,4 +275,5 @@ def ivf_probe_hierarchical(
         queries, coarse, fine, nprobe, coarse_probe, id_col, vec_col
     )
     return probe_pruned_topk(spark, path, probes, queries, k,
-                             id_col, vec_col, predicate)
+                             id_col, vec_col, predicate,
+                             probe_mode=probe_mode)

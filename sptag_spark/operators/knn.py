@@ -590,33 +590,70 @@ def probe_pruned_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     predicate=None,
+    probe_mode: str = "auto",
+    driver_probe_limit: int = 10_000,
 ) -> DataFrame:
     """Shared persisted-index probe tail (used by flat ivf_probe and
-    bkt.ivf_probe_hierarchical): materialize the small (query_id, bucket)
-    probe frame ONCE on the driver — feeding the lazy frame to both the
-    distinct-bucket collect and the broadcast join would run the probe
-    kernel twice — then a PARTITION-PRUNED postings scan + exact
+    bkt.ivf_probe_hierarchical): resolve the (query_id, bucket) probe
+    frame, then a PARTITION-PRUNED postings scan + exact
     quantized-cosine top-k.
+
+    Two probe-selection strategies (VERDICT r2 #2):
+
+    - ``driver`` — collect the probe frame, inline the bucket set as a
+      static IN filter, broadcast the probes. Right for interactive
+      query *batches* (the common serve shape): one tiny driver round
+      trip buys static partition pruning with zero extra jobs.
+    - ``join`` — the probe kernel's output is WRITTEN to a side table
+      under the index (executor-side, never through the driver), the
+      distinct-bucket set (bounded by n_centroids, tiny) broadcast-
+      semi-joins the postings scan — dynamic partition pruning selects
+      the bucket partitions — and probes/queries join candidates as
+      ordinary (AQE-planned) joins. Right for probe *waves*: a 10^6-
+      query wave would otherwise funnel millions of rows through the
+      driver and inline a megabyte IN-list.
+    - ``auto`` — ``join`` iff queries exceeds `driver_probe_limit`
+      (decided with a limit-bounded count, so the scan stops early).
 
     `predicate` (Column or SQL string over posting columns) composes
     filtered ANN with the index: it lands in the SAME pruned scan as a
     pushed filter, below the scoring join — the reference's
     SearchIndexWithFilter over SPANN postings (VectorIndex.h:59)."""
-    probe_rows = probes.collect()
-    buckets = sorted({r["bucket"] for r in probe_rows})
-    probes_local = spark.createDataFrame(probe_rows, schema=probes.schema)
-    postings = spark.read.parquet(f"{path}/postings").filter(
-        F.col("bucket").isin(buckets)
-    )
-    if predicate is not None:
-        postings = postings.filter(predicate)
+    if probe_mode == "auto":
+        nq = queries.limit(driver_probe_limit + 1).count()
+        probe_mode = "join" if nq > driver_probe_limit else "driver"
     qvec = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
+    if probe_mode == "driver":
+        probe_rows = probes.collect()
+        buckets = sorted({r["bucket"] for r in probe_rows})
+        probes_resolved = F.broadcast(
+            spark.createDataFrame(probe_rows, schema=probes.schema))
+        postings = spark.read.parquet(f"{path}/postings").filter(
+            F.col("bucket").isin(buckets)
+        )
+        qvec = F.broadcast(qvec)
+    elif probe_mode == "join":
+        import uuid
+
+        probe_tbl = f"{path}/_probes/{uuid.uuid4().hex}"
+        probes.write.mode("overwrite").parquet(probe_tbl)
+        probes_resolved = spark.read.parquet(probe_tbl)
+        # distinct buckets <= n_centroids: broadcast semi-join drives
+        # dynamic partition pruning of the postings scan executor-side
+        bucket_set = probes_resolved.select("bucket").distinct()
+        postings = spark.read.parquet(f"{path}/postings").join(
+            F.broadcast(bucket_set), "bucket", "semi"
+        )
+    else:
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
+    if predicate is not None:
+        postings = postings.filter(predicate)
     candidates = (
-        postings.join(F.broadcast(probes_local), "bucket")
+        postings.join(probes_resolved, "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
-        .join(F.broadcast(qvec), "query_id")
+        .join(qvec, "query_id")
     )
     return _score_candidates(candidates, k, id_col, vec_col)
 
@@ -630,15 +667,17 @@ def ivf_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     predicate=None,
+    probe_mode: str = "auto",
 ) -> DataFrame:
     """Probe a persisted IVF index: nprobe bucket ids per query via the
     centroid kernel, then the shared partition-pruned scoring tail
-    (see probe_pruned_topk; the driver-side bucket list is bounded by
-    n_centroids — tiny — and is the standard static-pruning idiom)."""
+    (see probe_pruned_topk for the driver/join strategy split — query
+    batches prune statically, query waves prune dynamically)."""
     centroids = spark.read.parquet(f"{path}/centroids")
     probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col)
     return probe_pruned_topk(spark, path, probes, queries, k,
-                             id_col, vec_col, predicate)
+                             id_col, vec_col, predicate,
+                             probe_mode=probe_mode)
 
 
 def ivf_topk(

@@ -145,3 +145,30 @@ def test_multi_index_join_path_agrees_with_literal_path(emb, spark):
     assert [r["vec_id"] for r in lit] == [r["vec_id"] for r in jn]
     for a, b in zip(lit, jn):
         assert abs(a["score"] - b["score"]) < 1e-12
+
+
+def test_probe_wave_auto_selects_join_mode(spark, tmp_path):
+    """A >10^4-query probe wave auto-routes to the executor-side join
+    strategy and completes with per-query results (the driver path would
+    inline a 10^4-bucket probe set through collect)."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.knn import ivf_build, ivf_probe
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_build(emb, n_centroids=16, path=path)
+    waves = emb.select(
+        "vec_id", "embedding",
+        F.explode(F.sequence(F.lit(0), F.lit(24))).alias("_rep"),
+    ).select(
+        (F.col("vec_id") * 100 + F.col("_rep")).alias("vec_id"),
+        "embedding",
+    )  # 500 x 25 = 12,500 queries, fresh ids (no self-matches)
+    out = ivf_probe(spark, path, waves, k=3, nprobe=2)
+    got = out.groupBy().agg(
+        F.countDistinct("query_id").alias("nq"),
+        F.count(F.lit(1)).alias("rows"),
+    ).first()
+    assert got["nq"] == 12_500
+    assert got["rows"] == 12_500 * 3
