@@ -222,34 +222,60 @@ def _ts_ordinal(col: Column, dtype) -> Column:
 
 def _hot_bounds(unioned: DataFrame, keys: list[str], ord_col: Column,
                 target_rows_per_key: int, n_chunks: int):
-    """Two cheap passes: (1) per-key counts — a map-side-combinable agg —
-    to find heavy hitters; (2) approximate ts-quantile chunk boundaries
-    computed ONLY over the hot keys' rows (percentile sketches per key
-    are the expensive part; building them for every cold key would cost
-    more than the skew it prevents). Returns (rows, schema) — the hot
-    set is tiny (heavy hitters only)."""
+    """Heavy hitters + their ts-quantile chunk boundaries from ONE
+    deterministic row sample (VERDICT r2 #3; both outputs only affect
+    LOAD BALANCE, never results — see _asof_union_salted — so sampling
+    is safe by construction).
+
+    sample_mod = clamp(target/64, 1, 64): the detection threshold always
+    sits at >= ~64 expected sampled rows, so a genuinely hot key is
+    flagged with overwhelming probability while a borderline flip either
+    way just shifts work between the chunked and plain code paths. The
+    sample (keys + ts ordinal only, <= 1/64 of rows) is persisted, so
+    the big union is scanned ONCE for stats instead of twice (count pass
+    + percentile pass); per-key percentile sketches — the expensive
+    state — are still built only for hot keys' sampled rows. With
+    sample_mod == 1 (tiny targets, tests) this degrades to the exact
+    two-pass form without persisting the full projection."""
+    from pyspark import StorageLevel
+
     proj = unioned.select(*keys, ord_col.alias("_o"))
-    hot_keys = (
-        proj.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > target_rows_per_key)
-        .select(*keys)
-    )
-    hot_key_rows = hot_keys.collect()
-    fracs = [i / n_chunks for i in range(1, n_chunks)]
-    stats = (
-        proj.join(F.broadcast(
-            proj.sparkSession.createDataFrame(hot_key_rows,
-                                              schema=hot_keys.schema)
-            if hot_key_rows else hot_keys
-        ), keys, "left_semi")
-        .groupBy(*keys)
-        .agg(F.percentile_approx("_o", fracs, 10_000).alias(_BNDS))
-        .select(*keys, _BNDS)
-    )
-    if not hot_key_rows:
-        return [], stats.schema
-    return stats.collect(), stats.schema
+    sample_mod = min(64, max(1, target_rows_per_key // 64))
+    persisted = None
+    if sample_mod > 1:
+        # hash-based (not rand()): stable under task retries
+        samp_cond = F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys], F.col("_o"),
+                       F.lit("hotstats")),
+            F.lit(sample_mod),
+        ) == 0
+        proj = proj.filter(samp_cond)
+        persisted = proj.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        hot_keys = (
+            proj.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") * sample_mod > target_rows_per_key)
+            .select(*keys)
+        )
+        hot_key_rows = hot_keys.collect()
+        fracs = [i / n_chunks for i in range(1, n_chunks)]
+        stats = (
+            proj.join(F.broadcast(
+                proj.sparkSession.createDataFrame(hot_key_rows,
+                                                  schema=hot_keys.schema)
+                if hot_key_rows else hot_keys
+            ), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(F.percentile_approx("_o", fracs, 10_000).alias(_BNDS))
+            .select(*keys, _BNDS)
+        )
+        if not hot_key_rows:
+            return [], stats.schema
+        return stats.collect(), stats.schema
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
 
 
 def _chunk_expr(ord_col: Column) -> Column:

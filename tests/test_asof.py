@@ -257,3 +257,43 @@ def test_null_ts_data_rows_never_match(spark):
                             else dict(strategy=strat))).collect()
         assert all(r["v"] == 1.0 for r in out), strat
         assert all(r["matched_ts"] is not None for r in out), strat
+
+
+def test_salted_sampled_stats_path_equals_union(spark):
+    """target_rows_per_key=4096 engages the SAMPLED stats pass
+    (sample_mod=64, VERDICT r2 #3): the hot key must still be detected
+    and chunked, and results must stay identical to the plain union plan
+    (boundaries affect load balance only)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    # one key with 12k rows (hot at target 4096), 40 cold keys w/ 100
+    probes = [(i, 0, t0 + dt.timedelta(seconds=i)) for i in range(8000)]
+    probes += [(100_000 + k * 1000 + i, k, t0 + dt.timedelta(seconds=i))
+               for k in range(1, 41) for i in range(50)]
+    data = [(0, t0 + dt.timedelta(seconds=4 * i), float(i))
+            for i in range(4000)]
+    data += [(k, t0 + dt.timedelta(seconds=10 * i), float(k * 100 + i))
+             for k in range(1, 41) for i in range(50)]
+    probe = spark.createDataFrame(probes, ["event_id", "k", "ts"])
+    d = spark.createDataFrame(data, ["k", "ts", "v"])
+    kw = dict(on="k", probe_ts="ts", data_ts="ts", payload=["v"])
+    base = asof_join(probe, d, **kw).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    salted = asof_join(probe, d, strategy="salted",
+                       target_rows_per_key=4096, n_chunks=8, **kw)
+    got = salted.toPandas().sort_values("event_id").reset_index(drop=True)
+    assert base.equals(got)
+    # the sampled detector must flag exactly the hot key (and give it
+    # n_chunks-1 boundaries), never the 100-row cold keys
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.asof import (
+        _hot_bounds, _tagged_union, _ts_ordinal, _TS,
+    )
+    unioned = _tagged_union(probe, d, ["k"], "ts", "ts", ["v"])
+    rows, _ = _hot_bounds(
+        unioned, ["k"], _ts_ordinal(F.col(_TS), probe.schema["ts"].dataType),
+        4096, 8)
+    assert [r["k"] for r in rows] == [0]
+    assert len(rows[0]["__asof_bounds"]) == 7
