@@ -196,8 +196,10 @@ def ivf_pq_probe(
 
     # ADC scan: codes-only pruned read — the embedding column never
     # enters this scan (column pruning; asserted in test_plans.py).
+    from sptag_spark.operators.knn import read_postings
+
     post_codes = (
-        spark.read.parquet(f"{path}/postings")
+        read_postings(spark, path, id_col)
         .select(id_col, "bucket", "codes")
         .filter(F.col("bucket").isin(buckets))
     )
@@ -226,7 +228,7 @@ def ivf_pq_probe(
     # Exact re-rank: second pruned read, embeddings for ONLY the
     # surviving candidates (broadcast semi-shape join on id).
     post_vec = (
-        spark.read.parquet(f"{path}/postings")
+        read_postings(spark, path, id_col)
         .select(id_col, "bucket", vec_col)
         .filter(F.col("bucket").isin(buckets))
         .drop("bucket")

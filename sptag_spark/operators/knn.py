@@ -569,16 +569,111 @@ def ivf_build(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> None:
     """Build and PERSIST the IVF index: bucketed postings written
     partitionBy('bucket') + the centroid table — build once, probe many
     (the reference's BuildIndex/SearchIndex split, SPANNIndex.cpp:309-372).
-    Probes then read only their nprobe partitions (partition pruning)."""
-    centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
+    Probes then read only their nprobe partitions (partition pruning).
+
+    Pass `centroids` to pin the head set (rebuild-for-comparison and the
+    incremental lifecycle keep heads FIXED, like the reference's update
+    path — reassignment happens against the existing heads,
+    ExtraDynamicSearcher.h:637-894)."""
+    if centroids is None:
+        centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
     bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
     bucketed.write.mode("overwrite").partitionBy("bucket") \
         .parquet(f"{path}/postings")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (reference T2 append / T3 tombstone /
+# T5 merge-compact composed onto the persisted layout: SPANN/Index.h:
+# 283-335 AddIndex/DeleteIndex, ExtraDynamicSearcher.h:637-1146 split/
+# merge/reassign)
+# ---------------------------------------------------------------------------
+
+def ivf_append(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted index: assign against the
+    EXISTING heads (zero-shuffle Arrow kernel) and append only the
+    touched bucket partitions — the corpus already indexed is never
+    rewritten or rescanned."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    bucketed = assign_buckets(vectors, centroids, id_col, vec_col)
+    bucketed.write.mode("append").partitionBy("bucket") \
+        .parquet(f"{path}/postings")
+
+
+def ivf_delete(spark, path: str, keys: DataFrame,
+               id_col: str = "vec_id") -> None:
+    """Tombstone ids: an O(|keys|) append to the tombstone log; probes
+    anti-join it at read time (merge-on-read). A later re-insert of a
+    tombstoned id needs a compact first — the log is id-based, like the
+    reference's delete set (VectorIndex.cpp:1169-1172)."""
+    keys.select(id_col).write.mode("append") \
+        .parquet(f"{path}/tombstones")
+
+
+def read_postings(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+    """Postings minus tombstones (merge-on-read). The tombstone set is
+    broadcast — bounded by compaction cadence, exactly the reference's
+    in-memory delete bitset assumption."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    post = spark.read.parquet(f"{path}/postings")
+    try:
+        tomb = spark.read.parquet(f"{path}/tombstones")
+    except AnalysisException:
+        return post
+    return post.join(
+        F.broadcast(tomb.select(id_col).distinct()), id_col, "anti"
+    )
+
+
+def ivf_compact(
+    spark,
+    path: str,
+    max_posting_size: int | None = None,
+    id_col: str = "vec_id",
+) -> None:
+    """Rewrite the postings without tombstoned rows and clear the log
+    (the reference's merge path). With `max_posting_size`, each bucket
+    keeps a deterministic hash-ordered head of at most that many rows —
+    the posting-size cap (W3) applied on rewrite
+    (ExtraDynamicSearcher.h split/merge thresholds).
+
+    The swap is a local-filesystem directory rename coordinated by the
+    driver; on an object store you would flip a manifest pointer instead
+    (sources/manifest.py has the digest machinery)."""
+    import os
+    import shutil
+
+    post = read_postings(spark, path, id_col)
+    if max_posting_size is not None:
+        w = Window.partitionBy("bucket").orderBy(
+            F.xxhash64(F.col(id_col)), F.col(id_col)
+        )
+        post = (
+            post.withColumn("__pn", F.row_number().over(w))
+            .filter(F.col("__pn") <= max_posting_size)
+            .drop("__pn")
+        )
+    tmp = f"{path}/postings_compacting"
+    post.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    old = f"{path}/postings"
+    shutil.rmtree(old)
+    os.rename(tmp, old)
+    tomb_dir = f"{path}/tombstones"
+    if os.path.isdir(tomb_dir):
+        shutil.rmtree(tomb_dir)
 
 
 def probe_pruned_topk(
@@ -630,7 +725,7 @@ def probe_pruned_topk(
         buckets = sorted({r["bucket"] for r in probe_rows})
         probes_resolved = F.broadcast(
             spark.createDataFrame(probe_rows, schema=probes.schema))
-        postings = spark.read.parquet(f"{path}/postings").filter(
+        postings = read_postings(spark, path, id_col).filter(
             F.col("bucket").isin(buckets)
         )
         qvec = F.broadcast(qvec)
@@ -643,7 +738,7 @@ def probe_pruned_topk(
         # distinct buckets <= n_centroids: broadcast semi-join drives
         # dynamic partition pruning of the postings scan executor-side
         bucket_set = probes_resolved.select("bucket").distinct()
-        postings = spark.read.parquet(f"{path}/postings").join(
+        postings = read_postings(spark, path, id_col).join(
             F.broadcast(bucket_set), "bucket", "semi"
         )
     else:

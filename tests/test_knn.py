@@ -172,3 +172,65 @@ def test_probe_wave_auto_selects_join_mode(spark, tmp_path):
     ).first()
     assert got["nq"] == 12_500
     assert got["rows"] == 12_500 * 3
+
+
+def test_ivf_incremental_lifecycle_matches_rebuild(spark, tmp_path):
+    """T2/T3/T5 composed onto the persisted index (reference
+    SPANN/Index.h:283-335, ExtraDynamicSearcher.h:637-1146): build on
+    part of the corpus, append the rest against the EXISTING heads,
+    tombstone deletes, compact — and at every step probing must equal a
+    from-scratch rebuild over the surviving corpus with the same pinned
+    centroids."""
+    import os
+
+    from sptag_spark.operators.knn import (
+        ivf_append, ivf_build, ivf_compact, ivf_delete, ivf_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    ivf_build(emb.filter("vec_id < 300"), n_centroids=16, path=path)
+    centroids = spark.read.parquet(f"{path}/centroids")
+    ivf_append(spark, path, emb.filter("vec_id >= 300"))
+    ivf_delete(spark, path, emb.filter("vec_id % 7 = 0").select("vec_id"))
+
+    q = emb.filter("vec_id < 8 AND vec_id % 7 != 0")
+    probe = lambda p: sorted(map(tuple, ivf_probe(
+        spark, p, q, k=5, nprobe=4).collect()))
+    inc = probe(path)
+    assert inc and all(r[1] % 7 != 0 for r in inc)  # deletes invisible
+
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf_build(emb.filter("vec_id % 7 != 0"), n_centroids=16,
+              path=rebuilt, centroids=centroids)
+    assert inc == probe(rebuilt)
+
+    ivf_compact(spark, path)
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert inc == probe(path)  # merge-on-read == post-compact
+
+
+def test_ivf_compact_posting_size_cap(spark, tmp_path):
+    """The posting-size cap (W3) applied on rewrite: after
+    ivf_compact(max_posting_size=N) no bucket holds more than N rows,
+    and survivors are a deterministic hash-ordered head."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.operators.knn import ivf_build, ivf_compact
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    ivf_build(emb, n_centroids=4, path=path)
+    ivf_compact(spark, path, max_posting_size=20)
+    sizes = (
+        spark.read.parquet(f"{path}/postings")
+        .groupBy("bucket").count().collect()
+    )
+    assert sizes and max(r["count"] for r in sizes) <= 20
+    # deterministic: a second cap pass is a no-op
+    before = sorted(r["vec_id"] for r in
+                    spark.read.parquet(f"{path}/postings").collect())
+    ivf_compact(spark, path, max_posting_size=20)
+    after = sorted(r["vec_id"] for r in
+                   spark.read.parquet(f"{path}/postings").collect())
+    assert before == after
