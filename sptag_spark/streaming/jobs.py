@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -194,6 +194,48 @@ def stream_exact_dedup(
     return ev.dropDuplicatesWithinWatermark(["fp"])
 
 
+def near_dup_key(text_col: Column, id_col: Column, n: int = 3) -> Column:
+    """The cheap streaming near-dup key: 1-perm shingle MinHash
+    (functions/text.py shingle_min_fingerprint — lexicographic min of
+    per-shingle md5s). Two exact duplicates always share it (same
+    normalized shingle set); two near-duplicates share it with
+    probability ~= their Jaccard similarity — the 1-perm MinHash
+    collision law, which is exactly what makes it a useful
+    drop-within-watermark key and an UNDER-approximation of the batch
+    LSH pipeline (never more aggressive than batch at the same n).
+    NULL/empty text falls back to a per-doc sentinel so contentless rows
+    never collapse onto each other."""
+    from sptag_spark.functions.text import shingle_min_fingerprint
+
+    return F.coalesce(
+        shingle_min_fingerprint(text_col, n),
+        F.concat(F.lit("__null__"), id_col.cast("string")),
+    )
+
+
+def stream_near_dup_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts: str = "ts",
+    watermark: str = "2 hours",
+    n: int = 3,
+) -> DataFrame:
+    """Streaming exact+near dedup in ONE stateful operator: key on the
+    1-perm MinHash (exact dups share normalized text, hence the key;
+    near dups collide with probability ~= Jaccard), keep the
+    FIRST-arrived doc per key within the watermark, evict state beyond
+    it. The batch twin is keep-min-id per key; stream and batch are
+    gated to agree on the survivor KEY set (same discipline as
+    stream_exact_dedup)."""
+    ev = docs.withColumn(
+        "nd_key", near_dup_key(F.col(text_col), F.col(id_col), n)
+    )
+    ev = ev.withColumn(ts, F.col(ts).cast("timestamp")) \
+        .withWatermark(ts, watermark)
+    return ev.dropDuplicatesWithinWatermark(["nd_key"])
+
+
 def stream_corpus_gate(
     docs: DataFrame,
     rates: dict[str, int],
@@ -201,23 +243,40 @@ def stream_corpus_gate(
     strata_col: str = "source",
     id_col: str = "doc_id",
     default_rate: int = 0,
+    near_dup_within: str | None = None,
+    text_col: str = "text",
+    ts: str = "ts",
+    ngram: int = 3,
 ) -> DataFrame:
     """Streaming corpus-preparation gate: quality scoring + deterministic
-    mixture sampling on a document stream. Entirely STATELESS (pure
-    per-row expressions, md5 sampling key) — no watermark, no state
-    store, append-mode safe at any rate; a restart or replay admits
-    exactly the same rows because the sample key is a pure function of
-    the row. Tested row-identical to the batch operators."""
+    mixture sampling on a document stream. The base gate is entirely
+    STATELESS (pure per-row expressions, md5 sampling key) — no
+    watermark, no state store, append-mode safe at any rate; a restart
+    or replay admits exactly the same rows because the sample key is a
+    pure function of the row. Tested row-identical to the batch
+    operators.
+
+    `near_dup_within` (a watermark duration, e.g. '2 hours') appends the
+    stateful exact+near dedup stage (stream_near_dup_dedup) AFTER the
+    stateless gate, so only quality-admitted, sampled docs pay for
+    dedup state — the full streaming prep shape: score -> sample ->
+    near-dup drop."""
     from sptag_spark.functions.text import with_text_stats
     from sptag_spark.operators.corpus import stratified_sample
 
     scored = with_text_stats(docs).filter(
         F.col("quality_score") >= min_quality
     )
-    return stratified_sample(
+    out = stratified_sample(
         scored, rates, strata_col=strata_col, id_col=id_col,
         default_rate=default_rate,
     )
+    if near_dup_within is not None:
+        out = stream_near_dup_dedup(
+            out, text_col=text_col, id_col=id_col, ts=ts,
+            watermark=near_dup_within, n=ngram,
+        )
+    return out
 
 
 def incremental_append(

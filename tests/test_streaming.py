@@ -326,3 +326,98 @@ def test_stream_corpus_gate_matches_batch(spark, tmp_path_factory):
     )
     want = {(r["doc_id"], r["sample_key"]) for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_near_dup_dedup_matches_batch(spark, tmp_path):
+    """VERDICT r2 #8: the streaming near-dup gate (1-perm MinHash key,
+    dropDuplicatesWithinWatermark) must collapse exact AND near dups
+    within the watermark — across micro-batch boundaries — and agree
+    with the batch keep-first twin on the survivor KEY set."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sptag_spark.streaming.jobs import (
+        near_dup_key, run_available_now, stream_near_dup_dedup,
+    )
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",      # 0
+        "pack my box with five dozen liquor jugs",          # 1
+        "The quick brown fox  jumps over the lazy dog!",    # 2 exact-ish of 0
+        "the quick brown fox jumps over the lazy cat",      # 3 near of 0
+        "sphinx of black quartz judge my vow",              # 4
+        "pack my box with five dozen liquor jugs",          # 5 exact of 1
+        None,                                               # 6 null text
+        None,                                               # 7 null text
+    ]
+    rows = [(i, texts[i], t0 + dt.timedelta(minutes=i))
+            for i in range(len(texts))]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "ts"])
+    src = str(tmp_path / "docs")
+    df.filter("doc_id < 4").coalesce(1).write.parquet(src)
+    df.filter("doc_id >= 4").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(df.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    out = stream_near_dup_dedup(stream, watermark="2 hours")
+    run_available_now(out, "nd_sink", output_mode="append")
+    got = spark.sql("SELECT * FROM nd_sink").collect()
+
+    batch_keys = df.withColumn(
+        "nd_key", near_dup_key(F.col("text"), F.col("doc_id"))
+    )
+    batch = batch_keys.groupBy("nd_key").agg(
+        F.min("doc_id").alias("doc_id"))
+    assert {r["nd_key"] for r in got} == \
+        {r["nd_key"] for r in batch.collect()}
+    # doc 2 (exact dup) collapsed with 0; doc 5 with 1; the two null
+    # docs each survive (sentinel keys); doc 3 near-dup shares the
+    # 1-perm minhash of doc 0 with prob ~J — verify against the actual
+    # key equality rather than assuming:
+    kmap = {r["doc_id"]: r["nd_key"] for r in batch_keys.collect()}
+    assert kmap[0] == kmap[2] and kmap[1] == kmap[5]
+    assert kmap[6] != kmap[7]
+    survivors = {r["doc_id"] for r in got}
+    assert 2 not in survivors and 5 not in survivors
+    assert {6, 7} <= survivors
+
+
+def test_stream_corpus_gate_near_dup_stage_matches_batch(spark, tmp_path):
+    """The composed streaming prep (quality -> sample -> near-dup drop)
+    equals the batch pipeline on admitted keys."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sptag_spark.functions.text import with_text_stats
+    from sptag_spark.operators.corpus import stratified_sample
+    from sptag_spark.streaming.jobs import (
+        near_dup_key, run_available_now, stream_corpus_gate,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    docs = base.withColumn(
+        "ts", F.to_timestamp(F.lit(t0.isoformat()))
+        + F.make_interval(secs=F.col("doc_id").cast("double"))
+    )
+    src = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(src)
+    rates = {"src0": 800, "src1": 500}
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    gated = stream_corpus_gate(stream, rates, min_quality=0.3,
+                               default_rate=300,
+                               near_dup_within="2 hours")
+    run_available_now(gated, "gate_nd_sink", output_mode="append")
+    got = {r["nd_key"] for r in spark.table("gate_nd_sink").collect()}
+
+    want_df = stratified_sample(
+        with_text_stats(docs).filter("quality_score >= 0.3"),
+        rates, default_rate=300,
+    ).withColumn("nd_key", near_dup_key(F.col("text"), F.col("doc_id")))
+    want = {r["nd_key"] for r in
+            want_df.groupBy("nd_key").agg(F.min("doc_id")).collect()}
+    assert got == want and len(got) > 0
