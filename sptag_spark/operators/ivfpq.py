@@ -150,6 +150,56 @@ def _read_codebooks(spark, path: str) -> np.ndarray:
     return books
 
 
+def _adc_tables_frame(
+    queries: DataFrame,
+    books: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, _t): per-query (m, kk) int64 ADC lookup tables as a
+    nested-list column, computed by an Arrow kernel over the query frame
+    — no driver collect, so probe WAVES build their tables executor-side
+    (quantization stays the build's JVM expression; the numpy math is
+    exact int64, identical to the former driver-side form)."""
+    import pyarrow as pa
+
+    m, kk, dsub = books.shape
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("__q")
+    )
+    out_schema = StructType([
+        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("_t", ArrayType(ArrayType(LongType()))),
+    ])
+
+    def run(batches):
+        for batch in batches:
+            X = list_to_matrix(batch.column("__q"), np.int64)
+            n = len(X)
+            if n == 0:
+                continue
+            T = np.stack([
+                ((X[:, None, s * dsub:(s + 1) * dsub]
+                  - books[s][None]) ** 2).sum(-1)          # (n, kk) int64
+                for s in range(m)
+            ], axis=1)                                      # (n, m, kk)
+            inner = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n * m + 1) * kk, kk,
+                                   dtype=np.int32)),
+                pa.array(T.reshape(-1), pa.int64()),
+            )
+            outer = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+                inner,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("query_id"), outer],
+                names=["query_id", "_t"],
+            )
+
+    return q.mapInArrow(run, schema=out_schema)
+
+
 def ivf_pq_probe(
     spark,
     path: str,
@@ -159,50 +209,63 @@ def ivf_pq_probe(
     rerank: int = 40,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_mode: str = "auto",
+    driver_probe_limit: int = 10_000,
 ) -> DataFrame:
     """ADC-scored pruned scan + exact re-rank over a persisted ivf_pq
     index. Returns (query_id, vec_id, cosine, rank) — the standard knn
-    output contract."""
+    output contract.
+
+    Probe selection mirrors knn.probe_pruned_topk: 'driver' (static
+    bucket IN-list + broadcast probes/tables/candidates — interactive
+    batches) vs 'join' (probes written to an executor-side table,
+    broadcast distinct-bucket semi-join drives dynamic partition
+    pruning, tables/candidates/queries join as AQE-planned joins —
+    probe waves); 'auto' switches on a limit-bounded query count. The
+    ADC tables are ALWAYS computed executor-side (_adc_tables_frame) —
+    no query collect on any path."""
     centroids = spark.read.parquet(f"{path}/centroids")
     books = _read_codebooks(spark, path)
     m, kk, dsub = books.shape
+    if probe_mode == "auto":
+        nq = queries.limit(driver_probe_limit + 1).count()
+        probe_mode = "join" if nq > driver_probe_limit else "driver"
     probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col)
-    probe_rows = probes.collect()
-    buckets = sorted({r["bucket"] for r in probe_rows})
-    probes_local = spark.createDataFrame(probe_rows, schema=probes.schema)
+    big = probe_mode == "join"
+    if big:
+        import uuid
 
-    # Per-query ADC tables: quantize with the SAME JVM expression the
-    # build used (HALF_UP), then tiny driver-side numpy — (Q, m, kk)
-    # int64 entries ride out as a broadcast frame.
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("_q")
-    ).collect()
-    tab_rows = []
-    for r in qrows:
-        qv = np.asarray(r["_q"], dtype=np.int64)
-        T = [
-            [int(x) for x in
-             ((books[s] - qv[s * dsub:(s + 1) * dsub]) ** 2).sum(axis=1)]
-            for s in range(m)
-        ]
-        tab_rows.append((r["query_id"], T))
-    tables = spark.createDataFrame(
-        tab_rows,
-        StructType([
-            StructField("query_id", queries.schema[id_col].dataType),
-            StructField("_t", ArrayType(ArrayType(LongType()))),
-        ]),
-    )
+        probe_tbl = f"{path}/_probes/{uuid.uuid4().hex}"
+        probes.write.mode("overwrite").parquet(probe_tbl)
+        probes_local = spark.read.parquet(probe_tbl)
+        bucket_pred = None
+    elif probe_mode == "driver":
+        probe_rows = probes.collect()
+        buckets = sorted({r["bucket"] for r in probe_rows})
+        probes_local = F.broadcast(
+            spark.createDataFrame(probe_rows, schema=probes.schema))
+        bucket_pred = F.col("bucket").isin(buckets)
+    else:
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
+
+    tables = _adc_tables_frame(queries, books, id_col, vec_col)
+    if not big:
+        tables = F.broadcast(tables)
 
     # ADC scan: codes-only pruned read — the embedding column never
     # enters this scan (column pruning; asserted in test_plans.py).
+    # Pruning: static IN-list (driver mode) or broadcast distinct-bucket
+    # semi-join driving dynamic partition pruning (join mode).
     from sptag_spark.operators.knn import read_postings
 
-    post_codes = (
-        read_postings(spark, path, id_col)
-        .select(id_col, "bucket", "codes")
-        .filter(F.col("bucket").isin(buckets))
-    )
+    def pruned(cols):
+        post = read_postings(spark, path, id_col).select(*cols)
+        if bucket_pred is not None:
+            return post.filter(bucket_pred)
+        bucket_set = probes_local.select("bucket").distinct()
+        return post.join(F.broadcast(bucket_set), "bucket", "semi")
+
+    post_codes = pruned([id_col, "bucket", "codes"])
     adc = None
     for s in range(m):
         term = F.element_at(
@@ -211,9 +274,9 @@ def ivf_pq_probe(
         )
         adc = term if adc is None else adc + term
     scored = (
-        post_codes.join(F.broadcast(probes_local), "bucket")
+        post_codes.join(probes_local, "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
-        .join(F.broadcast(tables), "query_id")
+        .join(tables, "query_id")
         .withColumn("_adc", adc.cast("long"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -224,20 +287,17 @@ def ivf_pq_probe(
         .filter(F.col("_arn") <= rerank)
         .select("query_id", id_col)
     )
+    if not big:
+        cand = F.broadcast(cand)
 
     # Exact re-rank: second pruned read, embeddings for ONLY the
-    # surviving candidates (broadcast semi-shape join on id).
-    post_vec = (
-        read_postings(spark, path, id_col)
-        .select(id_col, "bucket", vec_col)
-        .filter(F.col("bucket").isin(buckets))
-        .drop("bucket")
-    )
+    # surviving candidates (broadcast semi-shape join on id for query
+    # batches; AQE-planned equi-joins for waves).
+    post_vec = pruned([id_col, "bucket", vec_col]).drop("bucket")
     qvec = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    rr = (
-        post_vec.join(F.broadcast(cand), id_col)
-        .join(F.broadcast(qvec), "query_id")
-    )
+    if not big:
+        qvec = F.broadcast(qvec)
+    rr = post_vec.join(cand, id_col).join(qvec, "query_id")
     return _score_candidates(rr, k, id_col, vec_col)

@@ -107,3 +107,17 @@ def test_adc_scan_never_reads_embeddings(spark, emb, index):
     for s in scans:
         assert re.search(r"PartitionFilters: \[bucket#\d+ IN", s), s
     assert out.count() > 0
+
+
+def test_ivf_pq_join_mode_equals_driver_mode(spark, emb, index):
+    """The wave path (executor-side probe table + DPP + executor-built
+    ADC tables, no query collect anywhere) must reproduce the driver
+    path bit-for-bit."""
+    q = emb.filter("vec_id < 16")
+    a = sorted(map(tuple, ivf_pq_probe(
+        spark, index, q, k=5, nprobe=4, rerank=32,
+        probe_mode="driver").collect()))
+    b = sorted(map(tuple, ivf_pq_probe(
+        spark, index, q, k=5, nprobe=4, rerank=32,
+        probe_mode="join").collect()))
+    assert a == b and len(a) == 80
