@@ -32,6 +32,17 @@ def _ivf_probe_df(spark, emb):
     return ivf_probe(spark, path, emb.filter("vec_id < 2"), k=5, nprobe=2)
 
 
+def _ivf_pq_probe_df(spark, emb):
+    import tempfile
+
+    from sptag_spark.operators.ivfpq import ivf_pq_build, ivf_pq_probe
+
+    path = os.path.join(tempfile.gettempdir(), "sptag_ivfpq_plansdoc")
+    ivf_pq_build(emb, n_centroids=16, path=path, m=4, k_codes=16)
+    return ivf_pq_probe(spark, path, emb.filter("vec_id < 2"),
+                        k=5, nprobe=2, rerank=16)
+
+
 def _jaccard(docs):
     from sptag_spark.operators.dedup import jaccard_pairs
 
@@ -155,6 +166,17 @@ def main() -> int:
             "broadcast probe join); bucket assignment itself is one "
             "Arrow kernel with zero Exchange and zero Window.",
             _ivf_probe_df(spark, emb),
+        ),
+        (
+            "IVF x PQ probe — ADC-scored pruned scan + exact re-rank",
+            "The composed SPANN shape: the ADC scan's postings read is "
+            "partition-pruned AND codes-only (ReadSchema has codes, NOT "
+            "embedding — m element_at gathers against the broadcast "
+            "per-query tables, whole-stage codegen); the second pruned "
+            "read fetches embeddings for ONLY the top-rerank candidates "
+            "(broadcast join on id) before the exact quantized-cosine "
+            "window. Column split asserted in tests/test_ivfpq.py.",
+            _ivf_pq_probe_df(spark, emb),
         ),
         (
             "Shingle-Jaccard pairs — single-scan, skew-spread self-join",
