@@ -69,24 +69,18 @@ def _encode_codes(X: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     return codes
 
 
-def ivf_pq_build(
+def _assign_encode(
     corpus: DataFrame,
-    n_centroids: int,
-    path: str,
-    m: int = 4,
-    k_codes: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> None:
-    """Build + persist the composed index: bucketed postings carrying PQ
-    codes (partitionBy bucket), the centroid table, and the integer
-    codebooks. One corpus pass, zero shuffle (quantize stays a JVM
-    expression; bucket + codes come from one Arrow kernel)."""
+    centroids: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """corpus + (codes array<int>, bucket) in ONE Arrow-kernel pass:
+    nearest-centroid argmax AND per-subspace argmin encode over the same
+    quantized matrix — zero shuffle (shared by build and append)."""
     import pyarrow as pa
 
-    centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
-    codebooks = pq_codebooks_md5(corpus, m=m, k=k_codes,
-                                 id_col=id_col, vec_col=vec_col)
     cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
     top = _nearest_centroid_kernel(cent_ids, cent_mat, cent_norms, 1)
     bucket_type = centroids.schema["centroid_id"].dataType
@@ -97,7 +91,7 @@ def ivf_pq_build(
            StructField("bucket", bucket_type)]
     )
     out_names = [f.name for f in out_schema.fields]
-    n_sub = m
+    n_sub = codebooks.shape[0]
 
     def run(batches):
         for batch in batches:
@@ -120,7 +114,36 @@ def ivf_pq_build(
                 names=out_names,
             )
 
-    coded = with_q.mapInArrow(run, schema=out_schema)
+    return with_q.mapInArrow(run, schema=out_schema)
+
+
+def ivf_pq_build(
+    corpus: DataFrame,
+    n_centroids: int,
+    path: str,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    codebooks: np.ndarray | None = None,
+) -> None:
+    """Build + persist the composed index: bucketed postings carrying PQ
+    codes (partitionBy bucket), the centroid table, and the integer
+    codebooks. One corpus pass, zero shuffle (quantize stays a JVM
+    expression; bucket + codes come from one Arrow kernel).
+
+    Pass `centroids`/`codebooks` to pin the quantization tier (rebuild-
+    for-comparison and the incremental lifecycle keep BOTH fixed, like
+    the reference's update path — new vectors quantize against the
+    trained dictionaries, ExtraDynamicSearcher.h:637-894)."""
+    if centroids is None:
+        centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_codebooks_md5(corpus, m=m, k=k_codes,
+                                     id_col=id_col, vec_col=vec_col)
+    m, k_codes, _ = codebooks.shape
+    coded = _assign_encode(corpus, centroids, codebooks, id_col, vec_col)
     coded.write.mode("overwrite").partitionBy("bucket") \
         .parquet(f"{path}/postings")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -137,6 +160,25 @@ def ivf_pq_build(
             StructField("cw", ArrayType(LongType())),
         ]),
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivf_pq_append(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted composed index: assign AND
+    PQ-encode against the EXISTING heads + codebooks (one zero-shuffle
+    kernel pass) and append only the touched bucket partitions. Deletes
+    and compaction come from the flat-index machinery (knn.ivf_delete /
+    read_postings / ivf_compact — the postings layout is shared)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    books = _read_codebooks(spark, path)
+    coded = _assign_encode(vectors, centroids, books, id_col, vec_col)
+    coded.write.mode("append").partitionBy("bucket") \
+        .parquet(f"{path}/postings")
 
 
 def _read_codebooks(spark, path: str) -> np.ndarray:

@@ -674,6 +674,11 @@ def ivf_compact(
     tomb_dir = f"{path}/tombstones"
     if os.path.isdir(tomb_dir):
         shutil.rmtree(tomb_dir)
+    # join-mode probe side tables ({path}/_probes/<uuid>) are transient
+    # per-wave artifacts; compaction is their janitor
+    probes_dir = f"{path}/_probes"
+    if os.path.isdir(probes_dir):
+        shutil.rmtree(probes_dir)
 
 
 def probe_pruned_topk(

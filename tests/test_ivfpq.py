@@ -121,3 +121,46 @@ def test_ivf_pq_join_mode_equals_driver_mode(spark, emb, index):
         spark, index, q, k=5, nprobe=4, rerank=32,
         probe_mode="join").collect()))
     assert a == b and len(a) == 80
+
+
+def test_ivf_pq_incremental_lifecycle_matches_rebuild(spark, emb,
+                                                      tmp_path):
+    """Append/delete/compact on the COMPOSED index: new vectors are
+    assigned AND PQ-encoded against the existing heads + codebooks; at
+    every step probing equals a from-scratch rebuild over the surviving
+    corpus with both quantization tiers pinned."""
+    import os
+
+    from sptag_spark.operators.ivfpq import (
+        _read_codebooks, ivf_pq_append,
+    )
+    from sptag_spark.operators.knn import ivf_compact, ivf_delete
+
+    path = str(tmp_path / "idx")
+    ivf_pq_build(emb.filter("vec_id < 300"), n_centroids=16, path=path,
+                 m=4, k_codes=16)
+    centroids = spark.read.parquet(f"{path}/centroids")
+    books = _read_codebooks(spark, path)
+    ivf_pq_append(spark, path, emb.filter("vec_id >= 300"))
+    ivf_delete(spark, path, emb.filter("vec_id % 7 = 0").select("vec_id"))
+
+    q = emb.filter("vec_id < 8 AND vec_id % 7 != 0")
+    probe = lambda p: sorted(map(tuple, ivf_pq_probe(
+        spark, p, q, k=5, nprobe=4, rerank=32).collect()))
+    inc = probe(path)
+    assert inc and all(r[1] % 7 != 0 for r in inc)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf_pq_build(emb.filter("vec_id % 7 != 0"), n_centroids=16,
+                 path=rebuilt, centroids=centroids, codebooks=books)
+    assert inc == probe(rebuilt)
+
+    # a join-mode probe leaves a side table; compact cleans it AND the
+    # tombstones, preserving results
+    ivf_pq_probe(spark, path, q, k=5, nprobe=4, rerank=32,
+                 probe_mode="join").collect()
+    assert os.path.isdir(f"{path}/_probes")
+    ivf_compact(spark, path)
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert not os.path.isdir(f"{path}/_probes")
+    assert inc == probe(path)
