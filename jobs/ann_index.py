@@ -1,0 +1,131 @@
+"""spark-submit entry point: ANN index lifecycle CLI.
+
+    spark-submit --py-files sptag_spark.zip jobs/ann_index.py build \
+        --in /data/embeddings.parquet --index /data/idx \
+        [--type ivf|ivf_pq] [--centroids 1024] [--m 8] [--k-codes 16]
+    ... ann_index.py append  --in /data/new.parquet --index /data/idx
+    ... ann_index.py delete  --keys /data/deleted.parquet --index /data/idx
+    ... ann_index.py compact --index /data/idx [--max-posting-size N]
+    ... ann_index.py search  --index /data/idx --queries /data/q.parquet \
+        --out /data/results.parquet [--k 10] [--nprobe 8] [--rerank 64] \
+        [--probe-mode auto|driver|join]
+
+The CLI surface of the reference's IndexBuilder + SSDServing mains
+(AnnService/src/IndexBuilder/main.cpp:1-150, SSDServing/main.cpp) over
+the engine's persisted bucketed-postings layout: build once, then
+append/delete/compact incrementally and probe with partition pruning.
+`search` auto-detects the index flavor (a codebooks table means ivf_pq:
+ADC-scored pruned scan + exact re-rank). Emits ONE JSON metrics line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--in", dest="inp", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--type", default="ivf_pq", choices=["ivf", "ivf_pq"])
+    b.add_argument("--centroids", type=int, default=256)
+    b.add_argument("--m", type=int, default=8)
+    b.add_argument("--k-codes", type=int, default=16)
+
+    a = sub.add_parser("append")
+    a.add_argument("--in", dest="inp", required=True)
+    a.add_argument("--index", required=True)
+
+    d = sub.add_parser("delete")
+    d.add_argument("--keys", required=True)
+    d.add_argument("--index", required=True)
+
+    c = sub.add_parser("compact")
+    c.add_argument("--index", required=True)
+    c.add_argument("--max-posting-size", type=int, default=None)
+
+    s = sub.add_parser("search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--queries", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--nprobe", type=int, default=8)
+    s.add_argument("--rerank", type=int, default=64)
+    s.add_argument("--probe-mode", default="auto",
+                   choices=["auto", "driver", "join"])
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from sptag_spark.operators import ivfpq
+    from sptag_spark.operators import knn
+
+    spark = SparkSession.builder.appName(f"ann_index_{args.cmd}") \
+        .getOrCreate()
+    t0 = time.time()
+    metrics: dict = {"job": f"ann_index_{args.cmd}", "index": args.index}
+
+    def _is_pq(path: str) -> bool:
+        try:
+            spark.read.parquet(f"{path}/codebooks")
+            return True
+        except Exception:
+            return False
+
+    if args.cmd == "build":
+        emb = spark.read.parquet(args.inp)
+        if args.type == "ivf_pq":
+            ivfpq.ivf_pq_build(emb, n_centroids=args.centroids,
+                               path=args.index, m=args.m,
+                               k_codes=args.k_codes)
+        else:
+            knn.ivf_build(emb, n_centroids=args.centroids, path=args.index)
+        metrics["rows"] = spark.read.parquet(
+            f"{args.index}/postings").count()
+        metrics["type"] = args.type
+    elif args.cmd == "append":
+        vec = spark.read.parquet(args.inp)
+        if _is_pq(args.index):
+            ivfpq.ivf_pq_append(spark, args.index, vec)
+        else:
+            knn.ivf_append(spark, args.index, vec)
+        metrics["appended"] = vec.count()
+    elif args.cmd == "delete":
+        keys = spark.read.parquet(args.keys)
+        knn.ivf_delete(spark, args.index, keys)
+        metrics["tombstoned"] = keys.count()
+    elif args.cmd == "compact":
+        knn.ivf_compact(spark, args.index,
+                        max_posting_size=args.max_posting_size)
+        metrics["rows"] = spark.read.parquet(
+            f"{args.index}/postings").count()
+    elif args.cmd == "search":
+        q = spark.read.parquet(args.queries)
+        if _is_pq(args.index):
+            res = ivfpq.ivf_pq_probe(
+                spark, args.index, q, k=args.k, nprobe=args.nprobe,
+                rerank=args.rerank, probe_mode=args.probe_mode)
+        else:
+            res = knn.ivf_probe(spark, args.index, q, k=args.k,
+                                nprobe=args.nprobe,
+                                probe_mode=args.probe_mode)
+        res.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        metrics["results"] = out.count()
+        metrics["queries"] = out.select("query_id").distinct().count()
+
+    metrics["elapsed_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(metrics))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -170,3 +170,58 @@ def test_spark_submit_prepare_corpus(tmp_path):
     fill = spans.assign(span=spans["tok_end"] - spans["tok_begin"]) \
         .groupby(["source", "chunk_id"])["span"].sum()
     assert fill.max() <= 64 and (fill == 64).sum() > 0
+
+
+def test_spark_submit_ann_index_lifecycle(tmp_path):
+    """The ANN index CLI (reference IndexBuilder/SSDServing mains)
+    through real spark-submit: build ivf_pq on half the corpus, append
+    the rest, tombstone deletes, search (deletes invisible), compact,
+    search again (same result count)."""
+    tmp = str(tmp_path)
+    zpath = _zip_package(tmp)
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    idx = os.path.join(tmp, "idx")
+    out1, out2 = os.path.join(tmp, "r1"), os.path.join(tmp, "r2")
+
+    import duckdb
+    half = os.path.join(tmp, "half.parquet")
+    rest = os.path.join(tmp, "rest.parquet")
+    dels = os.path.join(tmp, "dels.parquet")
+    qs = os.path.join(tmp, "q.parquet")
+    duckdb.sql(f"COPY (SELECT * FROM '{src}' WHERE vec_id < 300) TO "
+               f"'{half}' (FORMAT PARQUET)")
+    duckdb.sql(f"COPY (SELECT * FROM '{src}' WHERE vec_id >= 300) TO "
+               f"'{rest}' (FORMAT PARQUET)")
+    duckdb.sql(f"COPY (SELECT vec_id FROM '{src}' WHERE vec_id % 7 = 0) "
+               f"TO '{dels}' (FORMAT PARQUET)")
+    duckdb.sql(f"COPY (SELECT * FROM '{src}' WHERE vec_id < 8 AND "
+               f"vec_id % 7 <> 0) TO '{qs}' (FORMAT PARQUET)")
+
+    m = _submit(zpath, "ann_index.py", "build", "--in", half,
+                "--index", idx, "--type", "ivf_pq",
+                "--centroids", "16", "--m", "4", "--k-codes", "16")
+    assert m["rows"] == 300
+    m = _submit(zpath, "ann_index.py", "append", "--in", rest,
+                "--index", idx)
+    assert m["appended"] == 200
+    m = _submit(zpath, "ann_index.py", "delete", "--keys", dels,
+                "--index", idx)
+    assert m["tombstoned"] > 0
+    m = _submit(zpath, "ann_index.py", "search", "--index", idx,
+                "--queries", qs, "--out", out1, "--k", "5",
+                "--nprobe", "4", "--rerank", "32")
+    assert m["queries"] == 6 and m["results"] == 30
+    hits = duckdb.sql(
+        f"SELECT count(*) FROM '{out1}/*.parquet' WHERE vec_id % 7 = 0"
+    ).fetchone()[0]
+    assert hits == 0  # tombstoned ids never surface
+    m = _submit(zpath, "ann_index.py", "compact", "--index", idx)
+    assert m["rows"] == 500 - len(range(0, 500, 7))
+    m = _submit(zpath, "ann_index.py", "search", "--index", idx,
+                "--queries", qs, "--out", out2, "--k", "5",
+                "--nprobe", "4", "--rerank", "32")
+    assert m["results"] == 30
+    same = duckdb.sql(
+        f"SELECT count(*) FROM (SELECT * FROM '{out1}/*.parquet' "
+        f"EXCEPT SELECT * FROM '{out2}/*.parquet')").fetchone()[0]
+    assert same == 0  # merge-on-read == post-compact
