@@ -133,3 +133,45 @@ def test_b64_reader_blank_and_malformed_lines(spark, tmp_path):
         f.write("orphan_line_no_tab\n")    # malformed: loud failure
     with _pytest.raises(Exception, match="orphan_line_no_tab"):
         read_b64_vectors(spark, p).count()
+
+
+def test_list_to_matrix_matches_to_pylist_property():
+    """Property: the zero-copy ingestion equals np.array(to_pylist) for
+    any fixed-dim numeric list array, under slicing and both dtypes."""
+    import numpy as np
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sptag_spark.functions.vecarrow import list_to_matrix
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=40),
+        dim=st.integers(min_value=1, max_value=9),
+        off=st.integers(min_value=0, max_value=10),
+        float_src=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(n, dim, off, float_src, seed):
+        rng = np.random.default_rng(seed)
+        if float_src:
+            data = rng.random((n + off, dim), dtype=np.float32)
+            arr = pa.array([list(map(float, r)) for r in data],
+                           type=pa.list_(pa.float32()))
+            tgt = np.float64
+        else:
+            data = rng.integers(-10**6, 10**6, (n + off, dim))
+            arr = pa.array([list(map(int, r)) for r in data],
+                           type=pa.list_(pa.int64()))
+            tgt = np.int64
+        sliced = arr.slice(off, n)
+        got = list_to_matrix(sliced, tgt)
+        want = np.array(sliced.to_pylist(), dtype=tgt)
+        if n == 0:
+            assert got.size == 0
+        else:
+            assert got.shape == want.shape
+            assert (got == want).all()
+
+    check()
