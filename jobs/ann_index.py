@@ -74,10 +74,15 @@ def main(argv: list[str] | None = None) -> int:
     metrics: dict = {"job": f"ann_index_{args.cmd}", "index": args.index}
 
     def _is_pq(path: str) -> bool:
+        # only a MISSING codebooks table means "flat ivf" — a transient
+        # IO error must not silently reroute an ivf_pq index through the
+        # code-less append/probe path
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         try:
             spark.read.parquet(f"{path}/codebooks")
             return True
-        except Exception:
+        except AnalysisException:
             return False
 
     if args.cmd == "build":
@@ -118,6 +123,13 @@ def main(argv: list[str] | None = None) -> int:
                                 nprobe=args.nprobe,
                                 probe_mode=args.probe_mode)
         res.write.mode("overwrite").parquet(args.out)
+        # join-mode probes land in a transient side table under the
+        # index; results are materialized now, so clean it (best-effort
+        # — ivf_compact is the other janitor)
+        import shutil
+
+        shutil.rmtree(os.path.join(args.index, "_probes"),
+                      ignore_errors=True)
         out = spark.read.parquet(args.out)
         metrics["results"] = out.count()
         metrics["queries"] = out.select("query_id").distinct().count()

@@ -34,7 +34,11 @@ def list_to_matrix(col, dtype) -> np.ndarray:
     offs = col.offsets.to_numpy(zero_copy_only=False)
     widths = np.diff(offs)
     dim = int(widths[0]) if len(widths) else 0
-    if col.null_count or dim == 0 or not (widths == dim).all():
+    # col.values.null_count guards ELEMENT-level nulls ([1.0, null, 2.0]):
+    # the buffer path would cast their NaN to INT64_MIN silently, where
+    # np.array(to_pylist) raises loudly — keep the loud contract.
+    if (col.null_count or col.values.null_count or dim == 0
+            or not (widths == dim).all()):
         return np.array(col.to_pylist(), dtype=dtype)
     flat = col.values.to_numpy(zero_copy_only=False)
     flat = flat[offs[0]:offs[-1]]

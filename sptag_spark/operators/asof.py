@@ -239,17 +239,25 @@ def _hot_bounds(unioned: DataFrame, keys: list[str], ord_col: Column,
     two-pass form without persisting the full projection."""
     from pyspark import StorageLevel
 
-    proj = unioned.select(*keys, ord_col.alias("_o"))
     sample_mod = min(64, max(1, target_rows_per_key // 64))
     persisted = None
+    src = unioned
     if sample_mod > 1:
-        # hash-based (not rand()): stable under task retries
+        # hash-based (not rand()): stable under task retries. Hash ALL
+        # columns, not just (keys, ts): with (keys, ts) alone every row
+        # sharing a timestamp samples all-or-nothing, and a hot key with
+        # few DISTINCT timestamps (coarse ts, heavy duplication) evades
+        # detection with non-trivial probability — e.g. 100 distinct ts
+        # at 1/64 each -> (63/64)^100 ~ 21% miss. Payload columns break
+        # the correlation for all but byte-identical duplicate rows.
         samp_cond = F.pmod(
-            F.xxhash64(*[F.col(k) for k in keys], F.col("_o"),
+            F.xxhash64(*[F.col(c) for c in unioned.columns],
                        F.lit("hotstats")),
             F.lit(sample_mod),
         ) == 0
-        proj = proj.filter(samp_cond)
+        src = unioned.filter(samp_cond)
+    proj = src.select(*keys, ord_col.alias("_o"))
+    if sample_mod > 1:
         persisted = proj.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         hot_keys = (

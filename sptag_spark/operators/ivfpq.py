@@ -73,7 +73,6 @@ def _assign_encode(
     corpus: DataFrame,
     centroids: DataFrame,
     codebooks: np.ndarray,
-    id_col: str,
     vec_col: str,
 ) -> DataFrame:
     """corpus + (codes array<int>, bucket) in ONE Arrow-kernel pass:
@@ -143,7 +142,7 @@ def ivf_pq_build(
         codebooks = pq_codebooks_md5(corpus, m=m, k=k_codes,
                                      id_col=id_col, vec_col=vec_col)
     m, k_codes, _ = codebooks.shape
-    coded = _assign_encode(corpus, centroids, codebooks, id_col, vec_col)
+    coded = _assign_encode(corpus, centroids, codebooks, vec_col)
     coded.write.mode("overwrite").partitionBy("bucket") \
         .parquet(f"{path}/postings")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -176,7 +175,7 @@ def ivf_pq_append(
     read_postings / ivf_compact — the postings layout is shared)."""
     centroids = spark.read.parquet(f"{path}/centroids")
     books = _read_codebooks(spark, path)
-    coded = _assign_encode(vectors, centroids, books, id_col, vec_col)
+    coded = _assign_encode(vectors, centroids, books, vec_col)
     coded.write.mode("append").partitionBy("bucket") \
         .parquet(f"{path}/postings")
 
@@ -266,29 +265,15 @@ def ivf_pq_probe(
     probe waves); 'auto' switches on a limit-bounded query count. The
     ADC tables are ALWAYS computed executor-side (_adc_tables_frame) —
     no query collect on any path."""
+    from sptag_spark.operators.knn import _resolve_probes, read_postings
+
     centroids = spark.read.parquet(f"{path}/centroids")
     books = _read_codebooks(spark, path)
-    m, kk, dsub = books.shape
-    if probe_mode == "auto":
-        nq = queries.limit(driver_probe_limit + 1).count()
-        probe_mode = "join" if nq > driver_probe_limit else "driver"
+    m = books.shape[0]
     probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col)
-    big = probe_mode == "join"
-    if big:
-        import uuid
-
-        probe_tbl = f"{path}/_probes/{uuid.uuid4().hex}"
-        probes.write.mode("overwrite").parquet(probe_tbl)
-        probes_local = spark.read.parquet(probe_tbl)
-        bucket_pred = None
-    elif probe_mode == "driver":
-        probe_rows = probes.collect()
-        buckets = sorted({r["bucket"] for r in probe_rows})
-        probes_local = F.broadcast(
-            spark.createDataFrame(probe_rows, schema=probes.schema))
-        bucket_pred = F.col("bucket").isin(buckets)
-    else:
-        raise ValueError(f"unknown probe_mode {probe_mode!r}")
+    mode, probes_local, prune = _resolve_probes(
+        spark, path, probes, queries, probe_mode, driver_probe_limit)
+    big = mode == "join"
 
     tables = _adc_tables_frame(queries, books, id_col, vec_col)
     if not big:
@@ -296,16 +281,8 @@ def ivf_pq_probe(
 
     # ADC scan: codes-only pruned read — the embedding column never
     # enters this scan (column pruning; asserted in test_plans.py).
-    # Pruning: static IN-list (driver mode) or broadcast distinct-bucket
-    # semi-join driving dynamic partition pruning (join mode).
-    from sptag_spark.operators.knn import read_postings
-
     def pruned(cols):
-        post = read_postings(spark, path, id_col).select(*cols)
-        if bucket_pred is not None:
-            return post.filter(bucket_pred)
-        bucket_set = probes_local.select("bucket").distinct()
-        return post.join(F.broadcast(bucket_set), "bucket", "semi")
+        return prune(read_postings(spark, path, id_col).select(*cols))
 
     post_codes = pruned([id_col, "bucket", "codes"])
     adc = None

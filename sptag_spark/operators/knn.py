@@ -669,8 +669,15 @@ def ivf_compact(
     tmp = f"{path}/postings_compacting"
     post.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     old = f"{path}/postings"
-    shutil.rmtree(old)
+    # rename-rename-delete: no instant in the swap has ZERO live copies
+    # (rmtree-then-rename would lose the index if the driver died
+    # between the two)
+    retired = f"{path}/postings_retired"
+    if os.path.isdir(retired):
+        shutil.rmtree(retired)
+    os.rename(old, retired)
     os.rename(tmp, old)
+    shutil.rmtree(retired)
     tomb_dir = f"{path}/tombstones"
     if os.path.isdir(tomb_dir):
         shutil.rmtree(tomb_dir)
@@ -719,35 +726,14 @@ def probe_pruned_topk(
     filtered ANN with the index: it lands in the SAME pruned scan as a
     pushed filter, below the scoring join — the reference's
     SearchIndexWithFilter over SPANN postings (VectorIndex.h:59)."""
-    if probe_mode == "auto":
-        nq = queries.limit(driver_probe_limit + 1).count()
-        probe_mode = "join" if nq > driver_probe_limit else "driver"
+    mode, probes_resolved, prune = _resolve_probes(
+        spark, path, probes, queries, probe_mode, driver_probe_limit)
     qvec = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    if probe_mode == "driver":
-        probe_rows = probes.collect()
-        buckets = sorted({r["bucket"] for r in probe_rows})
-        probes_resolved = F.broadcast(
-            spark.createDataFrame(probe_rows, schema=probes.schema))
-        postings = read_postings(spark, path, id_col).filter(
-            F.col("bucket").isin(buckets)
-        )
+    if mode == "driver":
         qvec = F.broadcast(qvec)
-    elif probe_mode == "join":
-        import uuid
-
-        probe_tbl = f"{path}/_probes/{uuid.uuid4().hex}"
-        probes.write.mode("overwrite").parquet(probe_tbl)
-        probes_resolved = spark.read.parquet(probe_tbl)
-        # distinct buckets <= n_centroids: broadcast semi-join drives
-        # dynamic partition pruning of the postings scan executor-side
-        bucket_set = probes_resolved.select("bucket").distinct()
-        postings = read_postings(spark, path, id_col).join(
-            F.broadcast(bucket_set), "bucket", "semi"
-        )
-    else:
-        raise ValueError(f"unknown probe_mode {probe_mode!r}")
+    postings = prune(read_postings(spark, path, id_col))
     if predicate is not None:
         postings = postings.filter(predicate)
     candidates = (
@@ -756,6 +742,43 @@ def probe_pruned_topk(
         .join(qvec, "query_id")
     )
     return _score_candidates(candidates, k, id_col, vec_col)
+
+
+def _resolve_probes(spark, path: str, probes: DataFrame,
+                    queries: DataFrame, probe_mode: str,
+                    driver_probe_limit: int):
+    """Shared probe-selection strategy (probe_pruned_topk and
+    ivfpq.ivf_pq_probe): resolve 'auto', then return
+    (mode, probes_resolved, prune) where `prune(postings)` applies the
+    bucket pruning — a static IN filter (driver mode) or a broadcast
+    distinct-bucket semi-join that triggers dynamic partition pruning
+    (join mode; probes land in a side table under the index, cleaned by
+    ivf_compact — join mode therefore needs WRITE access to the index
+    path, the price of never funneling a wave through the driver)."""
+    if probe_mode == "auto":
+        nq = queries.limit(driver_probe_limit + 1).count()
+        probe_mode = "join" if nq > driver_probe_limit else "driver"
+    if probe_mode == "driver":
+        probe_rows = probes.collect()
+        buckets = sorted({r["bucket"] for r in probe_rows})
+        probes_resolved = F.broadcast(
+            spark.createDataFrame(probe_rows, schema=probes.schema))
+
+        def prune(post: DataFrame) -> DataFrame:
+            return post.filter(F.col("bucket").isin(buckets))
+    elif probe_mode == "join":
+        import uuid
+
+        probe_tbl = f"{path}/_probes/{uuid.uuid4().hex}"
+        probes.write.mode("overwrite").parquet(probe_tbl)
+        probes_resolved = spark.read.parquet(probe_tbl)
+        bucket_set = probes_resolved.select("bucket").distinct()
+
+        def prune(post: DataFrame) -> DataFrame:
+            return post.join(F.broadcast(bucket_set), "bucket", "semi")
+    else:
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
+    return probe_mode, probes_resolved, prune
 
 
 def ivf_probe(

@@ -203,14 +203,18 @@ def near_dup_key(text_col: Column, id_col: Column, n: int = 3) -> Column:
     collision law, which is exactly what makes it a useful
     drop-within-watermark key and an UNDER-approximation of the batch
     LSH pipeline (never more aggressive than batch at the same n).
-    NULL/empty text falls back to a per-doc sentinel so contentless rows
-    never collapse onto each other."""
+    NULL and empty/whitespace-only text both fall back to a per-doc
+    sentinel so contentless rows never collapse onto each other (empty
+    strings would otherwise all share md5(''))."""
     from sptag_spark.functions.text import shingle_min_fingerprint
 
-    return F.coalesce(
+    contentless = text_col.isNull() | (F.length(F.trim(text_col)) == 0)
+    return F.when(
+        contentless, F.concat(F.lit("__null__"), id_col.cast("string"))
+    ).otherwise(F.coalesce(
         shingle_min_fingerprint(text_col, n),
         F.concat(F.lit("__null__"), id_col.cast("string")),
-    )
+    ))
 
 
 def stream_near_dup_dedup(

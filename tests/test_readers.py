@@ -175,3 +175,22 @@ def test_list_to_matrix_matches_to_pylist_property():
             assert (got == want).all()
 
     check()
+
+
+def test_list_to_matrix_element_nulls_keep_loud_contract():
+    """Element-level nulls ([1.0, null, 2.0]) must fall back to the
+    copying path: int64 targets raise TypeError (the old to_pylist
+    behavior) instead of the values buffer silently casting NaN to
+    INT64_MIN; float64 targets yield NaN, same as before."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from sptag_spark.functions.vecarrow import list_to_matrix
+
+    arr = pa.array([[1.0, None, 2.0], [3.0, 4.0, 5.0]],
+                   type=pa.list_(pa.float32()))
+    with pytest.raises(TypeError):
+        list_to_matrix(arr, np.int64)
+    got = list_to_matrix(arr, np.float64)
+    assert np.isnan(got[0, 1]) and got[1, 2] == 5.0

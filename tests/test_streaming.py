@@ -421,3 +421,20 @@ def test_stream_corpus_gate_near_dup_stage_matches_batch(spark, tmp_path):
     want = {r["nd_key"] for r in
             want_df.groupBy("nd_key").agg(F.min("doc_id")).collect()}
     assert got == want and len(got) > 0
+
+
+def test_near_dup_key_contentless_docs_never_collapse(spark):
+    """NULL, empty, and whitespace-only docs each get a per-doc sentinel
+    key — md5('') must not merge every empty doc into one survivor."""
+    from pyspark.sql import functions as F
+
+    from sptag_spark.streaming.jobs import near_dup_key
+
+    df = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, ""), (4, "real text here")],
+        ["doc_id", "text"],
+    ).withColumn("k", near_dup_key(F.col("text"), F.col("doc_id")))
+    keys = [r["k"] for r in df.orderBy("doc_id").collect()]
+    assert len(set(keys[:4])) == 4          # contentless: all distinct
+    assert all(k.startswith("__null__") for k in keys[:4])
+    assert not keys[4].startswith("__null__")
