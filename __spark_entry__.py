@@ -839,6 +839,88 @@ WHERE rank <= 10
 """
 
 
+def _q_ivf_replica(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica multi-assignment IVF (reference ReplicaCount=8 RNG
+    closure, VectorIndex.cpp:1144-1254 RNGSelection +
+    ExtraStaticSearcher.h:735-753): every vector lands in its nearest
+    head posting AND its second-nearest unless the nearest head occludes
+    it (cos(h1,h2) > cos(v,h2)); probes dedupe candidates per query.
+    Deterministic end-to-end (md5 heads, exact int64 dots, IEEE cosine
+    for the occlusion test), so the oracle replicates the RNG closure
+    relationally."""
+    import tempfile
+
+    from sptag_spark.operators.knn import ivf_build, ivf_probe
+
+    emb = _embeddings(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sptag_ivfrep_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ivf_build(emb, n_centroids=32, path=path, replica_count=2)
+    return ivf_probe(spark, path, emb.filter("vec_id < 8"), k=10, nprobe=2)
+
+
+# The replicated IVF pipeline relationally: top-2 candidate heads per
+# vector, RNG occlusion on the head-pair cosine (accept the 2nd head iff
+# cos(h1,h2) <= cos(v,h2) — identical IEEE ops to the Arrow kernel),
+# probe top-2 heads per query, DISTINCT (query, vec) candidates, top-k.
+_IVF_REPLICA_ORACLE = f"""
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+cent AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm FROM (
+    SELECT vec_id, q, nrm FROM n
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32)),
+hh AS (SELECT a.cid AS c1, b.cid AS c2,
+    CAST(list_sum(list_transform(range(1, len(a.cq)+1),
+      i -> a.cq[i]*b.cq[i])) AS DOUBLE)
+    / (sqrt(CAST(a.cnrm AS DOUBLE)) * sqrt(CAST(b.cnrm AS DOUBLE))) AS hcos
+  FROM cent a CROSS JOIN cent b),
+cand AS (
+  SELECT vec_id, cid, cosv, rn FROM (
+    SELECT c.vec_id, ct.cid,
+      {_COS.format(a='c', b='ct', bq='cq', bn='cnrm')} AS cosv,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        {_COS.format(a='c', b='ct', bq='cq', bn='cnrm')} DESC, ct.cid) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn <= 2),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM cand WHERE rn = 1
+  UNION ALL
+  SELECT c2.vec_id, c2.cid FROM cand c2
+  JOIN cand c1 ON c1.vec_id = c2.vec_id AND c1.rn = 1
+  JOIN hh ON hh.c1 = c1.cid AND hh.c2 = c2.cid
+  WHERE c2.rn = 2 AND hh.hcos <= c2.cosv),
+probes AS (
+  SELECT query_id, cid AS bucket FROM (
+    SELECT qy.vec_id AS query_id, ct.cid,
+      row_number() OVER (PARTITION BY qy.vec_id ORDER BY
+        {_COS.format(a='qy', b='ct', bq='cq', bn='cnrm')} DESC, ct.cid) AS rn
+    FROM n qy CROSS JOIN cent ct WHERE qy.vec_id < 8)
+  WHERE rn <= 2),
+pairs AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM probes p
+  JOIN assign a ON a.bucket = p.bucket
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT pr.query_id, pr.vec_id,
+    {_COS.format(a='c', b='qy', bq='q', bn='nrm')} AS cosine
+  FROM pairs pr
+  JOIN n c ON c.vec_id = pr.vec_id
+  JOIN n qy ON qy.vec_id = pr.query_id)
+SELECT * FROM (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
 def _q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN as one query (reference SearchIndexWithFilter,
     VectorIndex.h:59): metadata predicate pushed below the scoring join
@@ -1477,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine_topk": _q_knn_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "ivf_knn_topk": _q_ivf_knn,
+        "ivf_replica_topk": _q_ivf_replica,
         "filtered_knn_topk": _q_filtered_knn,
         "lsh_near_dup": _q_lsh_near_dup,
         "pq_adc_topk": _q_pq_adc,
@@ -1526,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine_topk": _KNN_ORACLE,
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
         "ivf_knn_topk": _IVF_ORACLE,
+        "ivf_replica_topk": _IVF_REPLICA_ORACLE,
         "filtered_knn_topk": _FILTERED_KNN_ORACLE,
         "lsh_near_dup": _LSH_NEAR_DUP_ORACLE,
         "pq_adc_topk": _pq_adc_oracle(4, 16, 64, 10),

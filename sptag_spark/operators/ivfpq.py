@@ -51,6 +51,7 @@ from sptag_spark.operators.knn import (
     _nearest_centroid_kernel,
     _probe_buckets,
     _score_candidates,
+    _write_index_meta,
     quantize,
     select_centroids,
 )
@@ -74,42 +75,71 @@ def _assign_encode(
     centroids: DataFrame,
     codebooks: np.ndarray,
     vec_col: str,
+    replica_count: int = 1,
 ) -> DataFrame:
     """corpus + (codes array<int>, bucket) in ONE Arrow-kernel pass:
     nearest-centroid argmax AND per-subspace argmin encode over the same
-    quantized matrix — zero shuffle (shared by build and append)."""
+    quantized matrix — zero shuffle (shared by build and append). With
+    replica_count > 1 rows fan out to up to that many RNG-pruned head
+    buckets (knn._replica_assign_kernel — the reference's ReplicaCount
+    closure) and carry `replica_rank`; codes are computed once per input
+    row and replicated with it."""
     import pyarrow as pa
 
+    from sptag_spark.operators.knn import _replica_assign_kernel
+
     cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
-    top = _nearest_centroid_kernel(cent_ids, cent_mat, cent_norms, 1)
     bucket_type = centroids.schema["centroid_id"].dataType
     with_q = corpus.withColumn("__q", quantize(F.col(vec_col)))
-    out_schema = StructType(
-        list(corpus.schema.fields)
-        + [StructField("codes", ArrayType(IntegerType())),
-           StructField("bucket", bucket_type)]
-    )
+    replicated = replica_count > 1
+    fields = list(corpus.schema.fields) + [
+        StructField("codes", ArrayType(IntegerType())),
+        StructField("bucket", bucket_type),
+    ]
+    if replicated:
+        fields.append(StructField("replica_rank", IntegerType()))
+        assign = _replica_assign_kernel(
+            cent_ids, cent_mat, cent_norms, replica_count)
+    else:
+        top = _nearest_centroid_kernel(cent_ids, cent_mat, cent_norms, 1)
+    out_schema = StructType(fields)
     out_names = [f.name for f in out_schema.fields]
+    n_base = len(corpus.schema.fields)
     n_sub = codebooks.shape[0]
+
+    def _codes_arr(codes: np.ndarray) -> "pa.ListArray":
+        n = len(codes)
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * n_sub, n_sub, dtype=np.int32)),
+            pa.array(codes.reshape(-1), pa.int32()),
+        )
 
     def run(batches):
         for batch in batches:
             X = list_to_matrix(batch.column("__q"), np.int64)
             n = len(X)
+            if not replicated:
+                if n == 0:
+                    buckets = np.array([], dtype=np.int64)
+                    codes = np.empty((0, n_sub), dtype=np.int32)
+                else:
+                    buckets = top(X)[:, 0]
+                    codes = _encode_codes(X, codebooks)
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(nm) for nm in out_names[:n_base]]
+                    + [_codes_arr(codes), pa.array(buckets)],
+                    names=out_names,
+                )
+                continue
             if n == 0:
-                buckets = np.array([], dtype=np.int64)
-                codes_flat = np.array([], dtype=np.int32)
-            else:
-                buckets = top(X)[:, 0]
-                codes_flat = _encode_codes(X, codebooks).reshape(-1)
-            codes_arr = pa.ListArray.from_arrays(
-                pa.array(np.arange(0, (n + 1) * n_sub, n_sub,
-                                   dtype=np.int32)),
-                pa.array(codes_flat, pa.int32()),
-            )
+                continue
+            rows, buckets, rank = assign(X)
+            codes = _encode_codes(X, codebooks)[rows]
+            idx = pa.array(rows, pa.int64())
             yield pa.RecordBatch.from_arrays(
-                [batch.column(nm) for nm in out_names[:-2]]
-                + [codes_arr, pa.array(buckets)],
+                [batch.column(nm).take(idx) for nm in out_names[:n_base]]
+                + [_codes_arr(codes), pa.array(buckets),
+                   pa.array(rank, pa.int32())],
                 names=out_names,
             )
 
@@ -126,6 +156,7 @@ def ivf_pq_build(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     codebooks: np.ndarray | None = None,
+    replica_count: int = 1,
 ) -> None:
     """Build + persist the composed index: bucketed postings carrying PQ
     codes (partitionBy bucket), the centroid table, and the integer
@@ -135,18 +166,22 @@ def ivf_pq_build(
     Pass `centroids`/`codebooks` to pin the quantization tier (rebuild-
     for-comparison and the incremental lifecycle keep BOTH fixed, like
     the reference's update path — new vectors quantize against the
-    trained dictionaries, ExtraDynamicSearcher.h:637-894)."""
+    trained dictionaries, ExtraDynamicSearcher.h:637-894).
+    replica_count > 1 RNG-multi-assigns rows to up to that many head
+    postings (the reference's ReplicaCount closure; see knn.ivf_build)."""
     if centroids is None:
         centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
     if codebooks is None:
         codebooks = pq_codebooks_md5(corpus, m=m, k=k_codes,
                                      id_col=id_col, vec_col=vec_col)
     m, k_codes, _ = codebooks.shape
-    coded = _assign_encode(corpus, centroids, codebooks, vec_col)
+    coded = _assign_encode(corpus, centroids, codebooks, vec_col,
+                           replica_count=replica_count)
     coded.write.mode("overwrite").partitionBy("bucket") \
         .parquet(f"{path}/postings")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
     spark = corpus.sparkSession
+    _write_index_meta(spark, path, replica_count=int(replica_count))
     book_rows = [
         (int(s), int(j), [int(x) for x in codebooks[s, j]])
         for s in range(m) for j in range(k_codes)
@@ -172,10 +207,24 @@ def ivf_pq_append(
     PQ-encode against the EXISTING heads + codebooks (one zero-shuffle
     kernel pass) and append only the touched bucket partitions. Deletes
     and compaction come from the flat-index machinery (knn.ivf_delete /
-    read_postings / ivf_compact — the postings layout is shared)."""
+    read_postings / ivf_compact — the postings layout is shared).
+    Replica fan-out follows the index meta. Raises when pointed at a
+    FLAT ivf index (no `codes` in its postings): the appended codes
+    column would be invisible to flat probes and the schemas would
+    drift — use knn.ivf_append there."""
+    from sptag_spark.operators.knn import read_index_meta
+
+    existing = spark.read.parquet(f"{path}/postings")
+    if "codes" not in existing.columns:
+        raise ValueError(
+            f"{path} is a flat ivf index (no `codes` column in its "
+            "postings); ivf_pq_append would write a drifting schema — "
+            "use knn.ivf_append")
+    rep = int(read_index_meta(spark, path).get("replica_count", 1))
     centroids = spark.read.parquet(f"{path}/centroids")
     books = _read_codebooks(spark, path)
-    coded = _assign_encode(vectors, centroids, books, vec_col)
+    coded = _assign_encode(vectors, centroids, books, vec_col,
+                           replica_count=rep)
     coded.write.mode("append").partitionBy("bucket") \
         .parquet(f"{path}/postings")
 
@@ -252,6 +301,8 @@ def ivf_pq_probe(
     vec_col: str = "embedding",
     probe_mode: str = "auto",
     driver_probe_limit: int = 10_000,
+    max_dist_ratio: float | None = None,
+    probe_scratch_dir: str | None = None,
 ) -> DataFrame:
     """ADC-scored pruned scan + exact re-rank over a persisted ivf_pq
     index. Returns (query_id, vec_id, cosine, rank) — the standard knn
@@ -264,15 +315,20 @@ def ivf_pq_probe(
     pruning, tables/candidates/queries join as AQE-planned joins —
     probe waves); 'auto' switches on a limit-bounded query count. The
     ADC tables are ALWAYS computed executor-side (_adc_tables_frame) —
-    no query collect on any path."""
+    no query collect on any path. On a replica-built index candidates
+    dedupe on (query, id) before ADC ranking; `max_dist_ratio` drops
+    far probe heads (knn._probe_buckets); `probe_scratch_dir` relocates
+    join-mode side tables off a read-only index."""
     from sptag_spark.operators.knn import _resolve_probes, read_postings
 
     centroids = spark.read.parquet(f"{path}/centroids")
     books = _read_codebooks(spark, path)
     m = books.shape[0]
-    probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col)
+    probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col,
+                            max_dist_ratio=max_dist_ratio)
     mode, probes_local, prune = _resolve_probes(
-        spark, path, probes, queries, probe_mode, driver_probe_limit)
+        spark, path, probes, queries, probe_mode, driver_probe_limit,
+        scratch_dir=probe_scratch_dir)
     big = mode == "join"
 
     tables = _adc_tables_frame(queries, books, id_col, vec_col)
@@ -281,8 +337,11 @@ def ivf_pq_probe(
 
     # ADC scan: codes-only pruned read — the embedding column never
     # enters this scan (column pruning; asserted in test_plans.py).
+    post = read_postings(spark, path, id_col)
+    replicated = "replica_rank" in post.columns
+
     def pruned(cols):
-        return prune(read_postings(spark, path, id_col).select(*cols))
+        return prune(post.select(*cols))
 
     post_codes = pruned([id_col, "bucket", "codes"])
     adc = None
@@ -292,9 +351,17 @@ def ivf_pq_probe(
             F.element_at(F.col("codes"), s + 1) + 1,
         )
         adc = term if adc is None else adc + term
-    scored = (
+    cand_pairs = (
         post_codes.join(probes_local, "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
+    )
+    if replicated:
+        # replica copies carry identical codes: one ADC score per
+        # (query, vector), not per surviving replica posting
+        cand_pairs = cand_pairs.drop("bucket") \
+            .dropDuplicates(["query_id", id_col])
+    scored = (
+        cand_pairs
         .join(tables, "query_id")
         .withColumn("_adc", adc.cast("long"))
     )
@@ -313,6 +380,10 @@ def ivf_pq_probe(
     # surviving candidates (broadcast semi-shape join on id for query
     # batches; AQE-planned equi-joins for waves).
     post_vec = pruned([id_col, "bucket", vec_col]).drop("bucket")
+    if replicated:
+        # each vector's embedding appears once per replica posting; the
+        # re-rank join must see it once
+        post_vec = post_vec.dropDuplicates([id_col])
     qvec = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )

@@ -453,45 +453,129 @@ def _nearest_centroid_kernel(cent_ids, cent_mat, cent_norms, nprobe: int):
     return top
 
 
+def _replica_assign_kernel(cent_ids, cent_mat, cent_norms,
+                           replica_count: int):
+    """Per Arrow batch: RNG-pruned multi-assignment to up to
+    `replica_count` head partitions — the reference's RNGSelection over
+    the nearest-head candidates (VectorIndex.cpp:1144-1254;
+    ExtraStaticSearcher.h:735-753; ReplicaCount=8 in
+    SPANN/ParameterDefinitionList.h:88). Candidate heads are the
+    replica_count nearest (cosine DESC, id ASC); candidate j is accepted
+    unless an already-accepted head l occludes it —
+    cosine(head_l, head_j) > cosine(v, head_j) — the same occlusion rule
+    as graph.rng_prune. Boundary vectors land in every un-occluded
+    nearby posting, which is what buys recall at low nprobe and makes
+    posting truncation survivable.
+
+    The head×head cosine matrix is n_cent² float64 built once in the
+    closure (8 MB at 1024 heads — the head set is small by construction).
+    Returns (row_indices, buckets, replica_rank) flattened arrays."""
+    import numpy as np
+
+    R = replica_count
+    ids = np.asarray(cent_ids)
+    # bit-identical to the scoring path: exact int64 dots, sqrt-double
+    # norms, IEEE divide — so the DuckDB oracle replicates occlusion
+    cent_cos = (cent_mat @ cent_mat.T) / (
+        cent_norms[:, None] * cent_norms[None, :]
+    )
+
+    def assign(X: "np.ndarray"):
+        n = len(X)
+        norms = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+        dots = X @ cent_mat.T                               # exact int64
+        cos = dots / (norms[:, None] * cent_norms[None, :])
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :R]  # (n, R)
+        cosc = np.take_along_axis(cos, order, axis=1)
+        accept = np.zeros((n, R), dtype=bool)
+        accept[:, 0] = True
+        for j in range(1, R):
+            occ = np.zeros(n, dtype=bool)
+            for l in range(j):
+                occ |= accept[:, l] & (
+                    cent_cos[order[:, l], order[:, j]] > cosc[:, j]
+                )
+            accept[:, j] = ~occ
+        rows, cols = np.nonzero(accept)     # row-major: rank order kept
+        buckets = ids[order[rows, cols]]
+        rank = np.cumsum(accept, axis=1)[rows, cols]
+        return rows.astype(np.int64), buckets, rank.astype(np.int32)
+
+    return assign
+
+
 def assign_buckets(
     corpus: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    replica_count: int = 1,
 ) -> DataFrame:
     """Nearest-centroid assignment (reference J1, VectorIndex.cpp:
     1144-1254) with ZERO shuffle: quantization stays a JVM expression
     (HALF_UP round, identical to the scoring path), then one numpy matmul
     per Arrow batch computes the argmax — no corpus×centroid join
     materialized, no per-row window. Adds a `bucket` column; write with
-    .partitionBy('bucket') to get partition-pruned probes."""
+    .partitionBy('bucket') to get partition-pruned probes.
+
+    With replica_count > 1 each row fans out to up to that many
+    RNG-pruned head buckets (the reference's ReplicaCount multi-
+    assignment, see _replica_assign_kernel) and the output additionally
+    carries `replica_rank` (1 = nearest accepted head) — its presence is
+    how probes know to dedupe candidates."""
     import numpy as np
     import pyarrow as pa
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
-    top = _nearest_centroid_kernel(cent_ids, cent_mat, cent_norms, 1)
     bucket_type = centroids.schema["centroid_id"].dataType
     with_q = corpus.withColumn("__q", quantize(F.col(vec_col)))
+
+    if replica_count <= 1:
+        top = _nearest_centroid_kernel(cent_ids, cent_mat, cent_norms, 1)
+        out_schema = StructType(
+            list(corpus.schema.fields) + [StructField("bucket", bucket_type)]
+        )
+        out_names = [f.name for f in out_schema.fields]
+
+        def run(batches):
+            for batch in batches:
+                X = list_to_matrix(batch.column("__q"), np.int64)
+                if len(X) == 0:
+                    buckets = np.array([], dtype=np.int64)
+                else:
+                    buckets = top(X)[:, 0]
+                yield pa.RecordBatch.from_arrays(
+                    [batch.column(n) for n in out_names[:-1]]
+                    + [pa.array(buckets)],
+                    names=out_names,
+                )
+
+        return with_q.mapInArrow(run, schema=out_schema)
+
+    assign = _replica_assign_kernel(
+        cent_ids, cent_mat, cent_norms, replica_count)
     out_schema = StructType(
-        list(corpus.schema.fields) + [StructField("bucket", bucket_type)]
+        list(corpus.schema.fields)
+        + [StructField("bucket", bucket_type),
+           StructField("replica_rank", IntegerType())]
     )
     out_names = [f.name for f in out_schema.fields]
 
-    def run(batches):
+    def run_rep(batches):
         for batch in batches:
             X = list_to_matrix(batch.column("__q"), np.int64)
             if len(X) == 0:
-                buckets = np.array([], dtype=np.int64)
-            else:
-                buckets = top(X)[:, 0]
+                continue
+            rows, buckets, rank = assign(X)
+            idx = pa.array(rows, pa.int64())
             yield pa.RecordBatch.from_arrays(
-                [batch.column(n) for n in out_names[:-1]]
-                + [pa.array(buckets)],
+                [batch.column(n).take(idx) for n in out_names[:-2]]
+                + [pa.array(buckets), pa.array(rank, pa.int32())],
                 names=out_names,
             )
 
-    return with_q.mapInArrow(run, schema=out_schema)
+    return with_q.mapInArrow(run_rep, schema=out_schema)
 
 
 def _probe_buckets(
@@ -500,15 +584,23 @@ def _probe_buckets(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_dist_ratio: float | None = None,
 ) -> DataFrame:
     """(query_id, bucket) — the nprobe nearest centroids per query, via
-    the same Arrow kernel (no join, no window)."""
+    the same Arrow kernel (no join, no window).
+
+    `max_dist_ratio` is the reference's adaptive probe cutoff
+    (SPANNIndex.cpp:324-330): after ranking by cosine, head i is kept
+    only while its exact squared L2 distance satisfies
+    d2_i <= d2_first * ratio² (d2 = |v|² + |c|² - 2·dot, all int64) — a
+    query sitting inside one cluster reads ONE partition instead of
+    nprobe, while boundary queries keep their full probe set. None (the
+    default) keeps exactly nprobe heads."""
     import numpy as np
     import pyarrow as pa
     from pyspark.sql.types import StructField, StructType
 
     cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
-    top = _nearest_centroid_kernel(cent_ids, cent_mat, cent_norms, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("__q")
     )
@@ -517,23 +609,58 @@ def _probe_buckets(
         StructField("bucket", centroids.schema["centroid_id"].dataType),
     ])
 
-    def run(batches):
+    if max_dist_ratio is None:
+        top = _nearest_centroid_kernel(
+            cent_ids, cent_mat, cent_norms, nprobe)
+
+        def run(batches):
+            for batch in batches:
+                X = list_to_matrix(batch.column("__q"), np.int64)
+                if len(X) == 0:
+                    continue
+                b = top(X)                                  # (n, nprobe)
+                n, m = b.shape
+                qid = batch.column("query_id")
+                if isinstance(qid, pa.ChunkedArray):
+                    qid = qid.combine_chunks()
+                qids = np.repeat(qid.to_numpy(zero_copy_only=False), m)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(qids), pa.array(b.reshape(-1))],
+                    names=["query_id", "bucket"],
+                )
+
+        return q.mapInArrow(run, schema=out_schema)
+
+    ids = np.asarray(cent_ids)
+    cent_sq = (cent_mat.astype(np.int64) ** 2).sum(axis=1)  # |c|² int64
+    ratio_sq = float(max_dist_ratio) ** 2
+
+    def run_cut(batches):
         for batch in batches:
             X = list_to_matrix(batch.column("__q"), np.int64)
             if len(X) == 0:
                 continue
-            b = top(X)                                  # (n, nprobe)
-            n, m = b.shape
+            vsq = (X * X).sum(axis=1)                       # |v|² int64
+            norms = np.sqrt(vsq.astype(np.float64))
+            dots = X @ cent_mat.T
+            cos = dots / (norms[:, None] * cent_norms[None, :])
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            d2 = (vsq[:, None] + cent_sq[order]
+                  - 2 * np.take_along_axis(dots, order, axis=1)
+                  ).astype(np.float64)                      # (n, nprobe)
+            keep = d2 <= d2[:, :1] * ratio_sq
+            keep[:, 0] = True          # the nearest head always probes
+            rows, cols = np.nonzero(keep)
             qid = batch.column("query_id")
             if isinstance(qid, pa.ChunkedArray):
                 qid = qid.combine_chunks()
-            qids = np.repeat(qid.to_numpy(zero_copy_only=False), m)
+            qids = qid.to_numpy(zero_copy_only=False)[rows]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(qids), pa.array(b.reshape(-1))],
+                [pa.array(qids), pa.array(ids[order[rows, cols]])],
                 names=["query_id", "bucket"],
             )
 
-    return q.mapInArrow(run, schema=out_schema)
+    return q.mapInArrow(run_cut, schema=out_schema)
 
 
 def _score_candidates(
@@ -563,6 +690,32 @@ def _score_candidates(
     )
 
 
+def _write_index_meta(spark, path: str, **kv) -> None:
+    """One-row parquet of index-level build parameters (replica_count,
+    ...) — the moral of the reference's persisted ini config
+    (SPANN/ParameterDefinitionList.h): append/probe must quantize and
+    fan out exactly as the build did, without the caller re-stating it."""
+    import json
+
+    spark.createDataFrame(
+        [(json.dumps(kv),)], schema="meta string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def read_index_meta(spark, path: str) -> dict:
+    """Index meta (empty dict for pre-meta indexes — every knob has a
+    back-compatible default)."""
+    import json
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        rows = spark.read.parquet(f"{path}/meta").collect()
+    except AnalysisException:
+        return {}
+    return json.loads(rows[0]["meta"]) if rows else {}
+
+
 def ivf_build(
     corpus: DataFrame,
     n_centroids: int,
@@ -570,6 +723,7 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    replica_count: int = 1,
 ) -> None:
     """Build and PERSIST the IVF index: bucketed postings written
     partitionBy('bucket') + the centroid table — build once, probe many
@@ -579,13 +733,22 @@ def ivf_build(
     Pass `centroids` to pin the head set (rebuild-for-comparison and the
     incremental lifecycle keep heads FIXED, like the reference's update
     path — reassignment happens against the existing heads,
-    ExtraDynamicSearcher.h:637-894)."""
+    ExtraDynamicSearcher.h:637-894).
+
+    replica_count > 1 multi-assigns each vector to up to that many
+    RNG-pruned head postings (the reference's ReplicaCount=8 closure,
+    ExtraStaticSearcher.h:735-753): postings gain a `replica_rank`
+    column, probes dedupe candidates, and boundary vectors survive both
+    low-nprobe probing and posting truncation."""
     if centroids is None:
         centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
-    bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
+    bucketed = assign_buckets(corpus, centroids, id_col, vec_col,
+                              replica_count=replica_count)
     bucketed.write.mode("overwrite").partitionBy("bucket") \
         .parquet(f"{path}/postings")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_index_meta(corpus.sparkSession, path,
+                      replica_count=int(replica_count))
 
 
 # ---------------------------------------------------------------------------
@@ -605,9 +768,24 @@ def ivf_append(
     """Append new vectors to a persisted index: assign against the
     EXISTING heads (zero-shuffle Arrow kernel) and append only the
     touched bucket partitions — the corpus already indexed is never
-    rewritten or rescanned."""
+    rewritten or rescanned. Replica fan-out follows the index meta, so
+    appended vectors replicate exactly as the build did.
+
+    Raises on a flat append into an ivf_pq index (its postings carry PQ
+    codes; appending code-less rows would surface as NULL `codes` that
+    sort NULLS FIRST into every ADC candidate set — silent corruption).
+    Use ivfpq.ivf_pq_append there."""
+    existing = spark.read.parquet(f"{path}/postings")
+    if "codes" in existing.columns:
+        raise ValueError(
+            f"{path} is an ivf_pq index (postings carry a `codes` "
+            "column); flat ivf_append would write NULL codes — use "
+            "ivfpq.ivf_pq_append, which encodes against the persisted "
+            "codebooks")
+    rep = int(read_index_meta(spark, path).get("replica_count", 1))
     centroids = spark.read.parquet(f"{path}/centroids")
-    bucketed = assign_buckets(vectors, centroids, id_col, vec_col)
+    bucketed = assign_buckets(vectors, centroids, id_col, vec_col,
+                              replica_count=rep)
     bucketed.write.mode("append").partitionBy("bucket") \
         .parquet(f"{path}/postings")
 
@@ -638,34 +816,103 @@ def read_postings(spark, path: str, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def _require_local_index_path(path: str, op: str) -> None:
+    """The compact/split swap is driver-coordinated directory renames —
+    atomic on a local filesystem, NOT on HDFS/S3 (where the right tool is
+    a manifest-pointer flip, sources/manifest.py). Fail loudly instead of
+    writing postings_compacting and then raising mid-swap."""
+    if "://" in path or path.startswith("file:"):
+        raise ValueError(
+            f"{op} swaps postings with local-filesystem renames; "
+            f"index path {path!r} looks like a remote/URI path. Run "
+            f"{op} against a local path (or adapt the swap to a "
+            "manifest pointer flip for object stores).")
+
+
+def _recover_compact_swap(path: str) -> None:
+    """Roll a crashed compact swap forward or back (idempotent, run at
+    ivf_compact/ivf_split entry). The swap sequence is
+    rename(postings→retired); rename(compacting→postings);
+    rmtree(retired) — a crash between any two steps leaves exactly one
+    of the states below, each with a full live copy somewhere."""
+    import os
+    import shutil
+
+    old = f"{path}/postings"
+    tmp = f"{path}/postings_compacting"
+    retired = f"{path}/postings_retired"
+    if os.path.isdir(retired):
+        if not os.path.isdir(old):
+            if os.path.isdir(tmp):
+                # died between the two renames: finish the swap
+                os.rename(tmp, old)
+            else:
+                # no new copy written: restore the retired one
+                os.rename(retired, old)
+        if os.path.isdir(retired):
+            shutil.rmtree(retired)       # swap complete; drop old copy
+    elif os.path.isdir(tmp):
+        shutil.rmtree(tmp)               # partial write, never swapped
+
+
 def ivf_compact(
     spark,
     path: str,
     max_posting_size: int | None = None,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cap_order: str = "distance",
 ) -> None:
     """Rewrite the postings without tombstoned rows and clear the log
     (the reference's merge path). With `max_posting_size`, each bucket
-    keeps a deterministic hash-ordered head of at most that many rows —
-    the posting-size cap (W3) applied on rewrite
-    (ExtraDynamicSearcher.h split/merge thresholds).
+    keeps the `max_posting_size` rows NEAREST its head — the window
+    orders by exact quantized squared-L2 distance to the broadcast
+    centroid (id tiebreak), matching the reference's distance-ordered
+    posting truncation (ExtraStaticSearcher.h:781-846). On a
+    replica-built index (replica_count > 1) an evicted row normally
+    survives in its other replica postings — the property that makes
+    the reference's cap recall-safe; on a single-assignment index the
+    cap permanently drops the evicted vectors (prefer ivf_split there).
+    cap_order='hash' keeps the old xxhash64 eviction order (the
+    controlled baseline the tests compare against).
 
     The swap is a local-filesystem directory rename coordinated by the
-    driver; on an object store you would flip a manifest pointer instead
-    (sources/manifest.py has the digest machinery)."""
+    driver (validated — object-store paths raise); a half-completed
+    swap from a crashed run is rolled forward/back at entry."""
     import os
     import shutil
 
+    _require_local_index_path(path, "ivf_compact")
+    _recover_compact_swap(path)
     post = read_postings(spark, path, id_col)
     if max_posting_size is not None:
-        w = Window.partitionBy("bucket").orderBy(
-            F.xxhash64(F.col(id_col)), F.col(id_col)
-        )
-        post = (
-            post.withColumn("__pn", F.row_number().over(w))
-            .filter(F.col("__pn") <= max_posting_size)
-            .drop("__pn")
-        )
+        if cap_order == "distance":
+            cent = spark.read.parquet(f"{path}/centroids").select(
+                F.col("centroid_id").alias("bucket"),
+                quantize(F.col("centroid_vec")).alias("__cq"),
+            )
+            cq = quantize(F.col(vec_col))
+            d2 = (idot(cq, cq) + idot(F.col("__cq"), F.col("__cq"))
+                  - 2 * idot(cq, F.col("__cq")))
+            w = Window.partitionBy("bucket").orderBy(
+                d2.asc(), F.col(id_col).asc())
+            post = (
+                post.join(F.broadcast(cent), "bucket")
+                .withColumn("__pn", F.row_number().over(w))
+                .filter(F.col("__pn") <= max_posting_size)
+                .drop("__pn", "__cq")
+            )
+        elif cap_order == "hash":
+            w = Window.partitionBy("bucket").orderBy(
+                F.xxhash64(F.col(id_col)), F.col(id_col)
+            )
+            post = (
+                post.withColumn("__pn", F.row_number().over(w))
+                .filter(F.col("__pn") <= max_posting_size)
+                .drop("__pn")
+            )
+        else:
+            raise ValueError(f"unknown cap_order {cap_order!r}")
     tmp = f"{path}/postings_compacting"
     post.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
     old = f"{path}/postings"
@@ -673,8 +920,6 @@ def ivf_compact(
     # (rmtree-then-rename would lose the index if the driver died
     # between the two)
     retired = f"{path}/postings_retired"
-    if os.path.isdir(retired):
-        shutil.rmtree(retired)
     os.rename(old, retired)
     os.rename(tmp, old)
     shutil.rmtree(retired)
@@ -683,9 +928,39 @@ def ivf_compact(
         shutil.rmtree(tomb_dir)
     # join-mode probe side tables ({path}/_probes/<uuid>) are transient
     # per-wave artifacts; compaction is their janitor
-    probes_dir = f"{path}/_probes"
-    if os.path.isdir(probes_dir):
-        shutil.rmtree(probes_dir)
+    cleanup_probe_tables(path)
+
+
+def cleanup_probe_tables(path_or_scratch_dir: str) -> None:
+    """Delete join-mode probe side tables. Pass the index path (cleans
+    the default {path}/_probes; recognized by its postings dir) or the
+    explicit `probe_scratch_dir` a wave used (its contents are removed,
+    the dir itself kept). Library callers probing in a loop should call
+    this after materializing each wave's results instead of waiting for
+    compact."""
+    import os
+    import shutil
+
+    d = path_or_scratch_dir
+    if os.path.isdir(os.path.join(d, "postings")):
+        shutil.rmtree(os.path.join(d, "_probes"), ignore_errors=True)
+        return
+    if os.path.isdir(d):
+        for child in os.listdir(d):
+            shutil.rmtree(os.path.join(d, child), ignore_errors=True)
+
+
+def replica_histogram(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+    """(copies, n_vectors): how many live posting copies each vector has
+    — the reference's replica-count stat (A6). On a healthy replicated
+    index every vector has >= 1 copy; after aggressive capping the
+    1-copy bucket is the at-risk population."""
+    return (
+        read_postings(spark, path, id_col)
+        .groupBy(id_col).agg(F.count(F.lit(1)).alias("copies"))
+        .groupBy("copies").agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("copies")
+    )
 
 
 def probe_pruned_topk(
@@ -699,6 +974,7 @@ def probe_pruned_topk(
     predicate=None,
     probe_mode: str = "auto",
     driver_probe_limit: int = 10_000,
+    probe_scratch_dir: str | None = None,
 ) -> DataFrame:
     """Shared persisted-index probe tail (used by flat ivf_probe and
     bkt.ivf_probe_hierarchical): resolve the (query_id, bucket) probe
@@ -727,34 +1003,44 @@ def probe_pruned_topk(
     pushed filter, below the scoring join — the reference's
     SearchIndexWithFilter over SPANN postings (VectorIndex.h:59)."""
     mode, probes_resolved, prune = _resolve_probes(
-        spark, path, probes, queries, probe_mode, driver_probe_limit)
+        spark, path, probes, queries, probe_mode, driver_probe_limit,
+        scratch_dir=probe_scratch_dir)
     qvec = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
     if mode == "driver":
         qvec = F.broadcast(qvec)
     postings = prune(read_postings(spark, path, id_col))
+    replicated = "replica_rank" in postings.columns
     if predicate is not None:
         postings = postings.filter(predicate)
     candidates = (
         postings.join(probes_resolved, "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
-        .join(qvec, "query_id")
     )
+    if replicated:
+        # replica copies of a row are identical except (bucket,
+        # replica_rank): a query probing two of a vector's postings must
+        # score it once (the reference's visited/dedup set, P5 shape)
+        candidates = candidates.drop("bucket", "replica_rank") \
+            .dropDuplicates(["query_id", id_col])
+    candidates = candidates.join(qvec, "query_id")
     return _score_candidates(candidates, k, id_col, vec_col)
 
 
 def _resolve_probes(spark, path: str, probes: DataFrame,
                     queries: DataFrame, probe_mode: str,
-                    driver_probe_limit: int):
+                    driver_probe_limit: int,
+                    scratch_dir: str | None = None):
     """Shared probe-selection strategy (probe_pruned_topk and
     ivfpq.ivf_pq_probe): resolve 'auto', then return
     (mode, probes_resolved, prune) where `prune(postings)` applies the
     bucket pruning — a static IN filter (driver mode) or a broadcast
     distinct-bucket semi-join that triggers dynamic partition pruning
-    (join mode; probes land in a side table under the index, cleaned by
-    ivf_compact — join mode therefore needs WRITE access to the index
-    path, the price of never funneling a wave through the driver)."""
+    (join mode; probes land in a side table under `scratch_dir`, default
+    {path}/_probes, cleaned by ivf_compact / cleanup_probe_tables —
+    default join mode therefore needs WRITE access to the index path;
+    pass `scratch_dir` to wave-probe a READ-ONLY shared index)."""
     if probe_mode == "auto":
         nq = queries.limit(driver_probe_limit + 1).count()
         probe_mode = "join" if nq > driver_probe_limit else "driver"
@@ -769,7 +1055,8 @@ def _resolve_probes(spark, path: str, probes: DataFrame,
     elif probe_mode == "join":
         import uuid
 
-        probe_tbl = f"{path}/_probes/{uuid.uuid4().hex}"
+        base = scratch_dir if scratch_dir is not None else f"{path}/_probes"
+        probe_tbl = f"{base}/{uuid.uuid4().hex}"
         probes.write.mode("overwrite").parquet(probe_tbl)
         probes_resolved = spark.read.parquet(probe_tbl)
         bucket_set = probes_resolved.select("bucket").distinct()
@@ -791,16 +1078,24 @@ def ivf_probe(
     vec_col: str = "embedding",
     predicate=None,
     probe_mode: str = "auto",
+    max_dist_ratio: float | None = None,
+    probe_scratch_dir: str | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF index: nprobe bucket ids per query via the
     centroid kernel, then the shared partition-pruned scoring tail
     (see probe_pruned_topk for the driver/join strategy split — query
-    batches prune statically, query waves prune dynamically)."""
+    batches prune statically, query waves prune dynamically).
+    `max_dist_ratio` drops probe heads farther than ratio× the nearest
+    head's distance (_probe_buckets — fewer partitions read for easy
+    queries); `probe_scratch_dir` relocates join-mode side tables off
+    the index path (read-only shared indexes)."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col)
+    probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col,
+                            max_dist_ratio=max_dist_ratio)
     return probe_pruned_topk(spark, path, probes, queries, k,
                              id_col, vec_col, predicate,
-                             probe_mode=probe_mode)
+                             probe_mode=probe_mode,
+                             probe_scratch_dir=probe_scratch_dir)
 
 
 def ivf_topk(
@@ -811,17 +1106,20 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    replica_count: int = 1,
 ) -> DataFrame:
     """One-shot approximate top-k (build-in-memory + probe): probe only
     the nprobe nearest buckets per query. For repeated probing use
     ivf_build + ivf_probe — the persisted index is the scale path.
 
-    Deterministic end-to-end (md5 head selection, exact integer math), so
-    the DuckDB oracle replicates it exactly; recall@k vs brute force is
-    additionally gated in tests (reference harness TruthSet.h:242-285).
+    Deterministic end-to-end (md5 head selection, exact integer math,
+    RNG replica closure when replica_count > 1), so the DuckDB oracle
+    replicates it exactly; recall@k vs brute force is additionally gated
+    in tests (reference harness TruthSet.h:242-285).
     """
     centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
-    bucketed = assign_buckets(corpus, centroids, id_col, vec_col)
+    bucketed = assign_buckets(corpus, centroids, id_col, vec_col,
+                              replica_count=replica_count)
     probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col)
     qvec = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
@@ -829,8 +1127,11 @@ def ivf_topk(
     candidates = (
         bucketed.join(F.broadcast(probes), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
-        .join(F.broadcast(qvec), "query_id")
     )
+    if replica_count > 1:
+        candidates = candidates.drop("bucket", "replica_rank") \
+            .dropDuplicates(["query_id", id_col])
+    candidates = candidates.join(F.broadcast(qvec), "query_id")
     return _score_candidates(candidates, k, id_col, vec_col)
 
 
