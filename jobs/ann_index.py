@@ -6,9 +6,17 @@
     ... ann_index.py append  --in /data/new.parquet --index /data/idx
     ... ann_index.py delete  --keys /data/deleted.parquet --index /data/idx
     ... ann_index.py compact --index /data/idx [--max-posting-size N]
+    ... ann_index.py split   --index /data/idx --max-posting-size N
     ... ann_index.py search  --index /data/idx --queries /data/q.parquet \
         --out /data/results.parquet [--k 10] [--nprobe 8] [--rerank 64] \
-        [--probe-mode auto|driver|join]
+        [--probe-mode auto|driver|join] [--max-dist-ratio R] \
+        [--probe-scratch-dir DIR]
+
+`build --replica-count R` multi-assigns each vector to up to R
+RNG-pruned head postings (the reference's ReplicaCount closure);
+`split` evolves the head set by 2-means-splitting over-limit postings
+(lossless; `compact --max-posting-size` is the lossy distance-ordered
+cap).
 
 The CLI surface of the reference's IndexBuilder + SSDServing mains
 (AnnService/src/IndexBuilder/main.cpp:1-150, SSDServing/main.cpp) over
@@ -22,7 +30,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -38,6 +45,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--centroids", type=int, default=256)
     b.add_argument("--m", type=int, default=8)
     b.add_argument("--k-codes", type=int, default=16)
+    b.add_argument("--replica-count", type=int, default=1)
 
     a = sub.add_parser("append")
     a.add_argument("--in", dest="inp", required=True)
@@ -51,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--max-posting-size", type=int, default=None)
 
+    sp = sub.add_parser("split")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--max-posting-size", type=int, required=True)
+
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
     s.add_argument("--queries", required=True)
@@ -60,6 +72,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--rerank", type=int, default=64)
     s.add_argument("--probe-mode", default="auto",
                    choices=["auto", "driver", "join"])
+    s.add_argument("--max-dist-ratio", type=float, default=None)
+    s.add_argument("--probe-scratch-dir", default=None)
 
     args = ap.parse_args(argv)
 
@@ -90,9 +104,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.type == "ivf_pq":
             ivfpq.ivf_pq_build(emb, n_centroids=args.centroids,
                                path=args.index, m=args.m,
-                               k_codes=args.k_codes)
+                               k_codes=args.k_codes,
+                               replica_count=args.replica_count)
         else:
-            knn.ivf_build(emb, n_centroids=args.centroids, path=args.index)
+            knn.ivf_build(emb, n_centroids=args.centroids, path=args.index,
+                          replica_count=args.replica_count)
         metrics["rows"] = spark.read.parquet(
             f"{args.index}/postings").count()
         metrics["type"] = args.type
@@ -112,24 +128,33 @@ def main(argv: list[str] | None = None) -> int:
                         max_posting_size=args.max_posting_size)
         metrics["rows"] = spark.read.parquet(
             f"{args.index}/postings").count()
+    elif args.cmd == "split":
+        metrics["splits"] = knn.ivf_split(
+            spark, args.index, max_posting_size=args.max_posting_size)
+        metrics["rows"] = spark.read.parquet(
+            f"{args.index}/postings").count()
+        metrics["heads"] = spark.read.parquet(
+            f"{args.index}/centroids").count()
     elif args.cmd == "search":
         q = spark.read.parquet(args.queries)
         if _is_pq(args.index):
             res = ivfpq.ivf_pq_probe(
                 spark, args.index, q, k=args.k, nprobe=args.nprobe,
-                rerank=args.rerank, probe_mode=args.probe_mode)
+                rerank=args.rerank, probe_mode=args.probe_mode,
+                max_dist_ratio=args.max_dist_ratio,
+                probe_scratch_dir=args.probe_scratch_dir)
         else:
             res = knn.ivf_probe(spark, args.index, q, k=args.k,
                                 nprobe=args.nprobe,
-                                probe_mode=args.probe_mode)
+                                probe_mode=args.probe_mode,
+                                max_dist_ratio=args.max_dist_ratio,
+                                probe_scratch_dir=args.probe_scratch_dir)
         res.write.mode("overwrite").parquet(args.out)
-        # join-mode probes land in a transient side table under the
-        # index; results are materialized now, so clean it (best-effort
-        # — ivf_compact is the other janitor)
-        import shutil
-
-        shutil.rmtree(os.path.join(args.index, "_probes"),
-                      ignore_errors=True)
+        # join-mode probes land in a transient side table (under the
+        # index, or --probe-scratch-dir for read-only indexes); results
+        # are materialized now, so clean it (best-effort — ivf_compact
+        # is the other janitor)
+        knn.cleanup_probe_tables(args.probe_scratch_dir or args.index)
         out = spark.read.parquet(args.out)
         metrics["results"] = out.count()
         metrics["queries"] = out.select("query_id").distinct().count()

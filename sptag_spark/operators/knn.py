@@ -829,18 +829,18 @@ def _require_local_index_path(path: str, op: str) -> None:
             "manifest pointer flip for object stores).")
 
 
-def _recover_compact_swap(path: str) -> None:
-    """Roll a crashed compact swap forward or back (idempotent, run at
+def _recover_swap(path: str, name: str) -> None:
+    """Roll a crashed directory swap forward or back (idempotent, run at
     ivf_compact/ivf_split entry). The swap sequence is
-    rename(postings→retired); rename(compacting→postings);
-    rmtree(retired) — a crash between any two steps leaves exactly one
-    of the states below, each with a full live copy somewhere."""
+    rename({name}→retired); rename(compacting→{name}); rmtree(retired)
+    — a crash between any two steps leaves exactly one of the states
+    below, each with a full live copy somewhere."""
     import os
     import shutil
 
-    old = f"{path}/postings"
-    tmp = f"{path}/postings_compacting"
-    retired = f"{path}/postings_retired"
+    old = f"{path}/{name}"
+    tmp = f"{path}/{name}_compacting"
+    retired = f"{path}/{name}_retired"
     if os.path.isdir(retired):
         if not os.path.isdir(old):
             if os.path.isdir(tmp):
@@ -853,6 +853,24 @@ def _recover_compact_swap(path: str) -> None:
             shutil.rmtree(retired)       # swap complete; drop old copy
     elif os.path.isdir(tmp):
         shutil.rmtree(tmp)               # partial write, never swapped
+
+
+def _swap_dir(path: str, name: str) -> None:
+    """rename-rename-delete swap of {name}_compacting into {name}: no
+    instant in the swap has ZERO live copies (rmtree-then-rename would
+    lose the data if the driver died between the two)."""
+    import os
+    import shutil
+
+    old = f"{path}/{name}"
+    os.rename(old, f"{path}/{name}_retired")
+    os.rename(f"{path}/{name}_compacting", old)
+    shutil.rmtree(f"{path}/{name}_retired")
+
+
+def _recover_compact_swap(path: str) -> None:
+    _recover_swap(path, "postings")
+    _recover_swap(path, "centroids")
 
 
 def ivf_compact(
@@ -884,6 +902,7 @@ def ivf_compact(
 
     _require_local_index_path(path, "ivf_compact")
     _recover_compact_swap(path)
+    _sweep_orphan_partitions(spark, path)
     post = read_postings(spark, path, id_col)
     if max_posting_size is not None:
         if cap_order == "distance":
@@ -913,22 +932,192 @@ def ivf_compact(
             )
         else:
             raise ValueError(f"unknown cap_order {cap_order!r}")
-    tmp = f"{path}/postings_compacting"
-    post.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
-    old = f"{path}/postings"
-    # rename-rename-delete: no instant in the swap has ZERO live copies
-    # (rmtree-then-rename would lose the index if the driver died
-    # between the two)
-    retired = f"{path}/postings_retired"
-    os.rename(old, retired)
-    os.rename(tmp, old)
-    shutil.rmtree(retired)
+    post.write.mode("overwrite").partitionBy("bucket") \
+        .parquet(f"{path}/postings_compacting")
+    _swap_dir(path, "postings")
     tomb_dir = f"{path}/tombstones"
     if os.path.isdir(tomb_dir):
         shutil.rmtree(tomb_dir)
     # join-mode probe side tables ({path}/_probes/<uuid>) are transient
     # per-wave artifacts; compaction is their janitor
     cleanup_probe_tables(path)
+
+
+def _sweep_orphan_partitions(spark, path: str) -> None:
+    """Delete postings partitions whose bucket is absent from the
+    centroid table. The centroid table is the source of truth for live
+    buckets (probes only ever reach centroid-derived buckets), so an
+    orphan partition is a crashed ivf_split that swapped centroids but
+    died before removing the split source — the rows already live in
+    the new sub-buckets. Run at compact/split entry so full-postings
+    reads never resurrect them."""
+    import os
+    import shutil
+
+    post_dir = f"{path}/postings"
+    if not os.path.isdir(post_dir):
+        return
+    live = {r["centroid_id"]
+            for r in spark.read.parquet(f"{path}/centroids")
+            .select("centroid_id").collect()}
+    for d in os.listdir(post_dir):
+        if not d.startswith("bucket="):
+            continue
+        try:
+            b = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if b not in live:
+            shutil.rmtree(os.path.join(post_dir, d))
+
+
+def ivf_split(
+    spark,
+    path: str,
+    max_posting_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rounds: int = 8,
+) -> int:
+    """Split over-limit postings in place (the reference's head-set
+    evolution, ExtraDynamicSearcher.h:637-894 SplitAsync): every bucket
+    with more than `max_posting_size` rows is 2-means-clustered
+    (deterministic md5-ordered init, exact quantized math), each half
+    gets a NEW head — the row nearest its cluster center, labeled with a
+    fresh bucket id — and only that bucket's partition is rewritten; the
+    centroid table swaps crash-safely and gains the two sub-heads while
+    retiring the old one. Rounds repeat until every posting is within
+    the limit (a 4× bucket needs two rounds). Vectors are never dropped
+    — the lossless alternative to a compaction cap on single-copy
+    indexes. Returns the number of split operations performed.
+
+    Scope note vs the reference: the split is local (only the over-limit
+    bucket's rows re-partition between its two sub-heads); the
+    reference's follow-up neighborhood reassignment of boundary vectors
+    in ADJACENT postings (ExtraDynamicSearcher.h:895-1146) is not
+    replayed — probes see the enlarged head set immediately, so the
+    recall effect is second-order (gated in tests).
+
+    Crash safety: new sub-partitions are appended first (unreferenced by
+    the centroid table until the swap, hence invisible to probes), the
+    centroid swap is rename-rename-delete with entry recovery, and a
+    crash before the old partition's deletion leaves an orphan that the
+    entry-time sweep removes."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    _require_local_index_path(path, "ivf_split")
+    _recover_compact_swap(path)
+    _sweep_orphan_partitions(spark, path)
+
+    n_splits = 0
+    for _ in range(max_rounds):
+        post = spark.read.parquet(f"{path}/postings")
+        over = [
+            r["bucket"] for r in post.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_posting_size).collect()
+        ]
+        if not over:
+            break
+        cents = spark.read.parquet(f"{path}/centroids")
+        max_label = cents.agg(F.max("centroid_id")).collect()[0][0]
+
+        sub = post.filter(F.col("bucket").isin(over)).withColumn(
+            "__q", quantize(F.col(vec_col)))
+        out_schema = StructType(
+            [f for f in post.schema.fields]
+            + [StructField("__side", IntegerType()),
+               StructField("__is_head", IntegerType())]
+        )
+
+        def split_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+
+            X = np.array(pdf["__q"].tolist(), dtype=np.int64)
+            Xf = X.astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            md5_order = np.array(sorted(
+                range(len(ids)),
+                key=lambda i: (hashlib.md5(str(ids[i]).encode())
+                               .hexdigest(), ids[i])))
+            C = Xf[md5_order[:2]].copy()       # deterministic 2-means init
+            for _ in range(10):
+                d2 = ((Xf[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                a = d2.argmin(1)               # first-min tiebreak
+                for j in range(2):
+                    pts = Xf[a == j]
+                    if len(pts):
+                        C[j] = pts.mean(0)
+            # head row per side: nearest to the center, id tiebreak;
+            # the two heads must be distinct rows
+            d2 = ((Xf[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            order0 = sorted(range(len(ids)), key=lambda i: (d2[i, 0], ids[i]))
+            order1 = sorted(range(len(ids)), key=lambda i: (d2[i, 1], ids[i]))
+            h0 = order0[0]
+            h1 = next(i for i in order1 if i != h0)
+            # final side assignment: nearest of the two HEAD ROWS by the
+            # engine's quantized-cosine rule (cos DESC, side ASC tie)
+            heads = X[[h0, h1]]
+            hnorm = np.sqrt((heads * heads).sum(1).astype(np.float64))
+            vnorm = np.sqrt((X * X).sum(1).astype(np.float64))
+            cos = (X @ heads.T) / (vnorm[:, None] * hnorm[None, :])
+            side = (cos[:, 1] > cos[:, 0]).astype(np.int32)
+            side[h0], side[h1] = 0, 1
+            out = pdf.drop(columns=["__q"])
+            out["__side"] = side
+            is_head = np.zeros(len(ids), dtype=np.int32)
+            is_head[h0] = 1
+            is_head[h1] = 1
+            out["__is_head"] = is_head
+            return out
+
+        assigned = sub.groupBy("bucket").applyInPandas(
+            split_bucket, schema=out_schema).cache()
+        # fresh labels, deterministic: (old bucket ASC, side ASC)
+        label_rows = sorted(
+            (r["bucket"], r["__side"], r[id_col], r[vec_col])
+            for r in assigned.filter(F.col("__is_head") == 1)
+            .select("bucket", "__side", id_col, vec_col).collect()
+        )
+        labels = {(b, s): max_label + 1 + i
+                  for i, (b, s, _, _) in enumerate(label_rows)}
+        bucket_type = cents.schema["centroid_id"].dataType
+        label_df = spark.createDataFrame(
+            [(b, s, lab) for (b, s), lab in labels.items()],
+            schema=StructType([
+                StructField("bucket", bucket_type),
+                StructField("__side", IntegerType()),
+                StructField("__new_bucket", bucket_type),
+            ]),
+        )
+        post_cols = [c for c in post.columns if c != "bucket"]
+        rewritten = (
+            assigned.join(F.broadcast(label_df), ["bucket", "__side"])
+            .select(*post_cols, F.col("__new_bucket").alias("bucket"))
+        )
+        # 1) append sub-partitions (invisible until the centroid swap)
+        rewritten.write.mode("append").partitionBy("bucket") \
+            .parquet(f"{path}/postings")
+        # 2) crash-safe centroid swap: retire split heads, add sub-heads
+        new_heads = spark.createDataFrame(
+            [(labels[(b, s)], v) for (b, s, _, v) in label_rows],
+            schema=cents.schema,
+        )
+        cents.filter(~F.col("centroid_id").isin(over)).unionByName(
+            new_heads
+        ).write.mode("overwrite").parquet(f"{path}/centroids_compacting")
+        _swap_dir(path, "centroids")
+        # 3) drop the split source partitions (orphan-swept on crash)
+        for b in over:
+            shutil.rmtree(f"{path}/postings/bucket={b}",
+                          ignore_errors=True)
+        assigned.unpersist()
+        n_splits += len(over)
+    return n_splits
 
 
 def cleanup_probe_tables(path_or_scratch_dir: str) -> None:

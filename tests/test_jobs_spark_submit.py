@@ -225,3 +225,14 @@ def test_spark_submit_ann_index_lifecycle(tmp_path):
         f"SELECT count(*) FROM (SELECT * FROM '{out1}/*.parquet' "
         f"EXCEPT SELECT * FROM '{out2}/*.parquet')").fetchone()[0]
     assert same == 0  # merge-on-read == post-compact
+    # head-set evolution: split over-limit postings (lossless), then
+    # search the enlarged head set
+    n_live = 500 - len(range(0, 500, 7))
+    m = _submit(zpath, "ann_index.py", "split", "--index", idx,
+                "--max-posting-size", "25")
+    assert m["splits"] > 0 and m["rows"] == n_live and m["heads"] > 16
+    out3 = os.path.join(tmp, "r3")
+    m = _submit(zpath, "ann_index.py", "search", "--index", idx,
+                "--queries", qs, "--out", out3, "--k", "5",
+                "--nprobe", "8", "--rerank", "32")
+    assert m["results"] == 30
