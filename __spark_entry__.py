@@ -1114,6 +1114,56 @@ WHERE rank <= {topk}
 """
 
 
+def bench_index_subtimings(spark: SparkSession, sf_dir: str) -> dict:
+    """Build/probe attribution for the persisted-index contract queries
+    (VERDICT r3 'what's wrong' #2): each timed query builds AND probes,
+    so without this split a probe regression hides inside the build's
+    write time. bench.py emits the result as a separate `subtimings`
+    JSON field (not part of the suite total). Called AFTER the main
+    query loop, so JIT/codegen/Arrow workers are warm."""
+    import tempfile
+    import time
+
+    from sptag_spark.operators.ivfpq import ivf_pq_build, ivf_pq_probe
+    from sptag_spark.operators.knn import ivf_build, ivf_probe
+
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter("vec_id < 8")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = tempfile.gettempdir()
+
+    def timed(fn) -> float:
+        t0 = time.time()
+        fn()
+        return round(time.time() - t0, 3)
+
+    def noop(df: DataFrame) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    p1 = f"{base}/sptag_bench_ivf_{tag}"
+    p2 = f"{base}/sptag_bench_ivfpq_{tag}"
+    p3 = f"{base}/sptag_bench_ivfrep_{tag}"
+    return {
+        "ivf_knn_topk": {
+            "build": timed(lambda: ivf_build(emb, 32, p1)),
+            "probe": timed(lambda: noop(
+                ivf_probe(spark, p1, q, k=10, nprobe=4))),
+        },
+        "ivf_pq_adc_topk": {
+            "build": timed(lambda: ivf_pq_build(emb, 32, p2, m=4,
+                                                k_codes=16)),
+            "probe": timed(lambda: noop(
+                ivf_pq_probe(spark, p2, q, k=10, nprobe=4, rerank=40))),
+        },
+        "ivf_replica_topk": {
+            "build": timed(lambda: ivf_build(emb, 32, p3,
+                                             replica_count=2)),
+            "probe": timed(lambda: noop(
+                ivf_probe(spark, p3, q, k=10, nprobe=2))),
+        },
+    }
+
+
 def _q_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert semantics (reference T1/T6): latest event per
     (user_id, event_type), driven through upsert_latest with the even

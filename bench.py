@@ -105,12 +105,19 @@ def main() -> int:
                 best, metrics = dt, m
         timings["token_pipeline"] = round(best, 3)
 
+    # Build/probe attribution for the persisted-index queries — a
+    # separate field, NOT added to the suite total (the queries dict
+    # already times build+probe end-to-end). Runs after the main loop,
+    # so every codepath is warm.
+    subtimings = ent.bench_index_subtimings(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "feature_engineering_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "subtimings": subtimings,
         "sf": sf,
         "cpus": int(cpus),
         "sequences_per_sec": round(metrics["sequences_per_sec"], 1),

@@ -10,12 +10,15 @@ mapInPandas.
 
 The codec boundary is explicit and split by what this container can do:
 
-- UNCOMPRESSED formats decode for REAL: WAV/PCM audio via the stdlib
-  `wave` module, PPM (P6) / PGM (P5) / 24-bit BI_RGB BMP images via pure
-  struct parsing — `decode_audio_real` / `decode_image_real` handle
-  these end-to-end (round-trip tested against their encoders).
-- COMPRESSED codecs (JPEG/PNG/MP3/Opus/H.264) raise NotImplementedError
-  naming the library they would use (Pillow/ffmpeg — absent here).
+- REAL decoders: WAV/PCM audio via the stdlib `wave` module, PPM (P6) /
+  PGM (P5) / 24-bit BI_RGB BMP images via pure struct parsing, and
+  8-bit PNG (gray/RGB/RGBA, non-interlaced) via stdlib zlib inflate +
+  scanline unfilter — `decode_audio_real` / `decode_image_real` handle
+  these end-to-end (round-trip tested against their encoders, all five
+  PNG filter types exercised).
+- TRANSFORM-CODED codecs (JPEG/WebP/MP3/Opus/H.264) raise
+  NotImplementedError naming the library they would use (Pillow/ffmpeg
+  — absent here).
 - `decode_*_fake` remain as deterministic plumbing fixtures (bytes ->
   seeded ndarray) for tests that exercise batching/schema/partitioning
   without real payloads.
@@ -164,6 +167,140 @@ def _parse_pnm(data: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3) if depth == 3 else arr.reshape(h, w)
 
 
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) uint8 -> PNG via stdlib zlib: IHDR +
+    one IDAT (every scanline prefixed with `filter_type`) + IEND. PNG is
+    the one compressed image codec implementable without an image
+    library — the DEFLATE stream is stdlib, the scanline filters are
+    pure arithmetic. filter_type 0-4 exercises each unfilter path in
+    round-trip tests; 0 (None) is the fast default."""
+    import struct
+    import zlib
+
+    assert img.dtype == np.uint8 and filter_type in range(5)
+    if img.ndim == 2:
+        h, w = img.shape
+        color, bpp = 0, 1
+        px = img[:, :, None]
+    else:
+        h, w, c = img.shape
+        assert c == 3
+        color, bpp = 2, 3
+        px = img
+    raw = bytearray()
+    prev = np.zeros((w, bpp), dtype=np.int64)
+    for y in range(h):
+        line = px[y].astype(np.int64)
+        left = np.vstack([np.zeros((1, bpp), dtype=np.int64), line[:-1]])
+        upleft = np.vstack([np.zeros((1, bpp), dtype=np.int64), prev[:-1]])
+        if filter_type == 0:
+            out = line
+        elif filter_type == 1:                       # Sub
+            out = line - left
+        elif filter_type == 2:                       # Up
+            out = line - prev
+        elif filter_type == 3:                       # Average
+            out = line - (left + prev) // 2
+        else:                                        # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            out = line - pred
+        raw.append(filter_type)
+        raw += (out % 256).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _parse_png(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (gray / RGB / RGBA) -> uint8 array:
+    chunk walk, stdlib-zlib inflate of the concatenated IDAT stream,
+    then per-scanline unfilter (None/Sub/Up/Average/Paeth). Truncated
+    or malformed streams raise ValueError (loud, like _parse_pnm);
+    palette/16-bit/interlaced variants raise NotImplementedError with
+    the boundary named."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, n = 8, len(data)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        length, tag = struct.unpack_from(">I4s", data, pos)
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length                           # len+tag+body+crc
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 6) or interlace != 0 \
+            or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace}:"
+            " only 8-bit gray/RGB/RGBA non-interlaced decodes without an"
+            " image library")
+    bpp = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + w * bpp
+    if len(raw) < h * stride:
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, w, bpp), dtype=np.int64)
+    zero = np.zeros((1, bpp), dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * stride]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=w * bpp, offset=y * stride + 1
+        ).reshape(w, bpp).astype(np.int64)
+        prev = out[y - 1] if y else zero.repeat(w, axis=0)
+        if ft == 0:
+            rec = line
+        elif ft == 2:                                # Up
+            rec = (line + prev) % 256
+        elif ft in (1, 3, 4):                        # left-sequential
+            rec = np.zeros_like(line)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                up = prev[x]
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = (np.abs(p - left), np.abs(p - up),
+                                  np.abs(p - upleft))
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, up, upleft))
+                rec[x] = (line[x] + pred) % 256
+                left = rec[x]
+                upleft = up
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec
+    img = out.astype(np.uint8)
+    return img[:, :, 0] if color == 0 else img
+
+
 def _parse_bmp(data: bytes) -> np.ndarray:
     """24-bit uncompressed (BI_RGB) BMP -> HxWx3 uint8 RGB."""
     import struct
@@ -189,16 +326,21 @@ def _parse_bmp(data: bytes) -> np.ndarray:
 
 
 def decode_image_real(data: bytes, meta: dict) -> np.ndarray:
-    """Real image decoder for container-decodable formats: PPM/PGM/BMP.
-    Compressed codecs (PNG/JPEG/WebP) would go through Pillow/turbojpeg —
-    absent here, so they raise with the boundary named."""
+    """Real image decoder for formats decodable without an image
+    library: PPM/PGM/BMP (containers) and 8-bit PNG (stdlib-zlib inflate
+    + scanline unfilter). Transform-coded codecs (JPEG/WebP) would go
+    through Pillow/turbojpeg — absent here, so they raise with the
+    boundary named."""
     if data[:2] in (b"P6", b"P5"):
         return _parse_pnm(data)
     if data[:2] == b"BM":
         return _parse_bmp(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _parse_png(data)
     raise NotImplementedError(
-        "compressed image codecs (PNG/JPEG/WebP) need Pillow/turbojpeg, "
-        "not available in this environment; PPM/PGM/BMP decode natively"
+        "transform-coded image codecs (JPEG/WebP) need Pillow/turbojpeg, "
+        "not available in this environment; PPM/PGM/BMP/PNG decode "
+        "natively"
     )
 
 

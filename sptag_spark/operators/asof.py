@@ -250,8 +250,26 @@ def _hot_bounds(unioned: DataFrame, keys: list[str], ord_col: Column,
         # detection with non-trivial probability — e.g. 100 distinct ts
         # at 1/64 each -> (63/64)^100 ~ 21% miss. Payload columns break
         # the correlation for all but byte-identical duplicate rows.
+        # MapType has no hash in Spark (even nested inside a struct or
+        # array) — exclude unhashable payload columns (keys+ts are
+        # always hashable, so the sample stays well-defined; only the
+        # duplicate-row correlation guard weakens for rows identical in
+        # every hashable column)
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _has_map(dt) -> bool:
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _has_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_has_map(f.dataType) for f in dt.fields)
+            return False
+
+        hashable = [f.name for f in unioned.schema.fields
+                    if not _has_map(f.dataType)]
         samp_cond = F.pmod(
-            F.xxhash64(*[F.col(c) for c in unioned.columns],
+            F.xxhash64(*[F.col(c) for c in hashable],
                        F.lit("hotstats")),
             F.lit(sample_mod),
         ) == 0

@@ -48,6 +48,7 @@ from pyspark.sql.window import Window
 from sptag_spark.functions.vecarrow import list_to_matrix
 from sptag_spark.operators.knn import (
     _collect_centroids,
+    _write_postings,
     _nearest_centroid_kernel,
     _probe_buckets,
     _score_candidates,
@@ -157,6 +158,9 @@ def ivf_pq_build(
     centroids: DataFrame | None = None,
     codebooks: np.ndarray | None = None,
     replica_count: int = 1,
+    rotation: str | None = None,
+    opq_sample_size: int = 2048,
+    opq_iters: int = 10,
 ) -> None:
     """Build + persist the composed index: bucketed postings carrying PQ
     codes (partitionBy bucket), the centroid table, and the integer
@@ -168,32 +172,66 @@ def ivf_pq_build(
     the reference's update path — new vectors quantize against the
     trained dictionaries, ExtraDynamicSearcher.h:637-894).
     replica_count > 1 RNG-multi-assigns rows to up to that many head
-    postings (the reference's ReplicaCount closure; see knn.ivf_build)."""
-    if centroids is None:
-        centroids = select_centroids(corpus, n_centroids, id_col, vec_col)
-    if codebooks is None:
-        codebooks = pq_codebooks_md5(corpus, m=m, k=k_codes,
-                                     id_col=id_col, vec_col=vec_col)
-    m, k_codes, _ = codebooks.shape
-    coded = _assign_encode(corpus, centroids, codebooks, vec_col,
-                           replica_count=replica_count)
-    coded.write.mode("overwrite").partitionBy("bucket") \
-        .parquet(f"{path}/postings")
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    postings (the reference's ReplicaCount closure; see knn.ivf_build).
+
+    rotation composes the learned-rotation tier (reference
+    OPQQuantizer.h:1-210) into the index:
+    - None (default): md5-sampled integer codebooks, fully
+      oracle-checkable (the contract-query tier);
+    - 'opq': opq_train's rotation R + kmeans codebooks — heads, codes,
+      and ADC all live in the ROTATED space (R stored beside the index;
+      probes rotate queries, appends rotate new vectors), while
+      postings keep the ORIGINAL embedding so the exact re-rank stays
+      in the original space (orthogonal R preserves cosine). Float
+      training ⇒ deterministic per host but not SQL-replicable — gated
+      by recall + determinism tests instead of an oracle (COVERAGE.md);
+    - 'pq': identity rotation with the same trainer/budget — the
+      controlled baseline the OPQ recall gate compares against."""
+    from sptag_spark.operators.pq import opq_rotate_col, opq_train
+
     spark = corpus.sparkSession
-    _write_index_meta(spark, path, replica_count=int(replica_count))
-    book_rows = [
-        (int(s), int(j), [int(x) for x in codebooks[s, j]])
-        for s in range(m) for j in range(k_codes)
-    ]
-    spark.createDataFrame(
-        book_rows,
-        StructType([
-            StructField("s", IntegerType()),
-            StructField("j", IntegerType()),
-            StructField("cw", ArrayType(LongType())),
-        ]),
-    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    R = None
+    if rotation is not None:
+        if rotation not in ("opq", "pq"):
+            raise ValueError(f"unknown rotation {rotation!r}")
+        iters = opq_iters if rotation == "opq" else 0
+        R, books_f = opq_train(
+            corpus, m=m, k=k_codes, id_col=id_col, vec_col=vec_col,
+            sample_size=opq_sample_size, opq_iters=iters)
+        if codebooks is None:
+            # same ×1000 scale as quantize() so the int64 ADC machinery
+            # is shared with the md5-book tier
+            codebooks = np.round(books_f * 1000.0).astype(np.int64)
+        work = opq_rotate_col(corpus, R, vec_col, "__rot")
+        work_vec = "__rot"
+    else:
+        work, work_vec = corpus, vec_col
+        if codebooks is None:
+            codebooks = pq_codebooks_md5(corpus, m=m, k=k_codes,
+                                         id_col=id_col, vec_col=vec_col)
+    if centroids is None:
+        centroids = select_centroids(work, n_centroids, id_col, work_vec)
+    m, k_codes, _ = codebooks.shape
+    coded = _assign_encode(work, centroids, codebooks, work_vec,
+                           replica_count=replica_count)
+    if R is not None:
+        coded = coded.drop("__rot")
+    _write_postings(coded, f"{path}/postings", "overwrite")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    if R is not None:
+        _write_rotation(spark, path, R)
+    _write_index_meta(spark, path, replica_count=int(replica_count),
+                      rotated=R is not None)
+    import pandas as pd
+
+    books_pdf = pd.DataFrame({
+        "s": np.repeat(np.arange(m, dtype=np.int32), k_codes),
+        "j": np.tile(np.arange(k_codes, dtype=np.int32), m),
+        "cw": [codebooks[s, j].astype(np.int64)
+               for s in range(m) for j in range(k_codes)],
+    })
+    spark.createDataFrame(books_pdf).coalesce(1) \
+        .write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
 def ivf_pq_append(
@@ -220,13 +258,40 @@ def ivf_pq_append(
             f"{path} is a flat ivf index (no `codes` column in its "
             "postings); ivf_pq_append would write a drifting schema — "
             "use knn.ivf_append")
-    rep = int(read_index_meta(spark, path).get("replica_count", 1))
+    meta = read_index_meta(spark, path)
+    rep = int(meta.get("replica_count", 1))
     centroids = spark.read.parquet(f"{path}/centroids")
     books = _read_codebooks(spark, path)
-    coded = _assign_encode(vectors, centroids, books, vec_col,
+    work, work_vec = vectors, vec_col
+    if meta.get("rotated"):
+        from sptag_spark.operators.pq import opq_rotate_col
+
+        work = opq_rotate_col(vectors, _read_rotation(spark, path),
+                              vec_col, "__rot")
+        work_vec = "__rot"
+    coded = _assign_encode(work, centroids, books, work_vec,
                            replica_count=rep)
-    coded.write.mode("append").partitionBy("bucket") \
-        .parquet(f"{path}/postings")
+    if work_vec == "__rot":
+        coded = coded.drop("__rot")
+    _write_postings(coded, f"{path}/postings", "append")
+
+
+def _write_rotation(spark, path: str, R: np.ndarray) -> None:
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame({
+        "i": np.arange(len(R), dtype=np.int32),
+        "row": [R[i] for i in range(len(R))],
+    })).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
+
+
+def _read_rotation(spark, path: str) -> np.ndarray:
+    rows = spark.read.parquet(f"{path}/rotation").collect()
+    dim = len(rows)
+    R = np.empty((dim, dim), dtype=np.float64)
+    for r in rows:
+        R[r["i"]] = r["row"]
+    return R
 
 
 def _read_codebooks(spark, path: str) -> np.ndarray:
@@ -319,19 +384,31 @@ def ivf_pq_probe(
     dedupe on (query, id) before ADC ranking; `max_dist_ratio` drops
     far probe heads (knn._probe_buckets); `probe_scratch_dir` relocates
     join-mode side tables off a read-only index."""
-    from sptag_spark.operators.knn import _resolve_probes, read_postings
+    from sptag_spark.operators.knn import (
+        _resolve_probes, read_index_meta, read_postings,
+    )
 
     centroids = spark.read.parquet(f"{path}/centroids")
     books = _read_codebooks(spark, path)
     m = books.shape[0]
-    probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col,
-                            max_dist_ratio=max_dist_ratio)
+    # rotated (OPQ) index: heads/codes/ADC live in the rotated space, so
+    # the query side rotates once (Arrow matmul) for head selection and
+    # tables; the exact re-rank below stays in the ORIGINAL space
+    q_probe, q_probe_vec = queries, vec_col
+    if read_index_meta(spark, path).get("rotated"):
+        from sptag_spark.operators.pq import opq_rotate_col
+
+        q_probe = opq_rotate_col(queries, _read_rotation(spark, path),
+                                 vec_col, "__rot")
+        q_probe_vec = "__rot"
+    probes = _probe_buckets(q_probe, centroids, nprobe, id_col,
+                            q_probe_vec, max_dist_ratio=max_dist_ratio)
     mode, probes_local, prune = _resolve_probes(
         spark, path, probes, queries, probe_mode, driver_probe_limit,
         scratch_dir=probe_scratch_dir)
     big = mode == "join"
 
-    tables = _adc_tables_frame(queries, books, id_col, vec_col)
+    tables = _adc_tables_frame(q_probe, books, id_col, q_probe_vec)
     if not big:
         tables = F.broadcast(tables)
 

@@ -301,6 +301,46 @@ def opq_rotate(
     return sel.mapInArrow(run, schema=out_schema)
 
 
+def opq_rotate_col(
+    df: DataFrame,
+    R: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "__rot",
+) -> DataFrame:
+    """Append `out_col` = vec @ R (float64) PRESERVING every other
+    column — the composition shape ivfpq uses: assignment/encode read
+    the rotated column while the postings keep the original embedding
+    (orthogonal R preserves distances, so the exact re-rank stays in the
+    original space). One dim×dim matmul per Arrow batch, zero shuffle."""
+    import pyarrow as pa
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def run(batches):
+        for batch in batches:
+            X = list_to_matrix(batch.column(vec_col), np.float64)
+            n = len(X)
+            rot = X @ R if n else np.zeros((0, R.shape[1]))
+            dim = rot.shape[1]
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32)),
+                pa.array(rot.reshape(-1), pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(nm) for nm in names[:-1]] + [arr],
+                names=names,
+            )
+
+    return df.mapInArrow(run, schema=out_schema)
+
+
 def opq_encode(
     df: DataFrame,
     R: np.ndarray,

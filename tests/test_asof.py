@@ -203,6 +203,23 @@ def test_salted_equals_union_on_hot_keys(spark, strict):
     assert base.equals(salt)
 
 
+def test_salted_with_map_payload_column(spark):
+    """ADVICE r3 #5: MapType has no hash function in Spark — when the
+    sampled stats pass engages (target_rows_per_key >= 128) it must
+    exclude unhashable payload columns from the sampling hash instead
+    of failing analysis, and stay result-identical to the union plan."""
+    probe, clicks = _hot_key_frames(spark)
+    clicks = clicks.withColumn(
+        "attrs", F.create_map(F.lit("v"), F.col("click_value")))
+    kw = dict(on="user_id", probe_ts="ts", data_ts="ts")
+    base = asof_join(probe, clicks, **kw).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    salt = asof_join(probe, clicks, strategy="salted",
+                     target_rows_per_key=128, n_chunks=8, **kw).toPandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert base.equals(salt)
+
+
 def test_salted_no_hot_keys_falls_back(spark):
     """With the production target nothing at sf0.001 is hot; the salted
     path must degrade to the plain single-shuffle union plan."""

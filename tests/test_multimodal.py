@@ -127,6 +127,53 @@ def test_real_codecs_round_trip():
         decode_audio_real(encode_wav(stereo, 16000, channels=2), {}), wav)
 
 
+def test_png_round_trip_all_filter_types():
+    """PNG is the one COMPRESSED codec implementable with the stdlib
+    (zlib inflate + arithmetic scanline filters): encode->decode is the
+    identity for RGB and gray across every filter type 0-4, so each
+    unfilter branch (None/Sub/Up/Average/Paeth) is exercised, and a
+    foreign gradient image (where non-trivial filters actually shrink
+    the stream) survives too."""
+    import numpy as np
+
+    from sptag_spark.functions.multimodal import (
+        decode_image_real, encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(9, 7), dtype=np.uint8)
+    for ft in range(5):
+        assert np.array_equal(
+            decode_image_real(encode_png(img, filter_type=ft), {}), img)
+        assert np.array_equal(
+            decode_image_real(encode_png(gray, filter_type=ft), {}), gray)
+    grad = (np.arange(32)[:, None, None]
+            + np.arange(48)[None, :, None] * 3
+            + np.arange(3)[None, None, :]).astype(np.uint8)
+    paeth = encode_png(grad, filter_type=4)
+    assert len(paeth) < len(encode_png(grad, filter_type=0))
+    assert np.array_equal(decode_image_real(paeth, {}), grad)
+
+
+def test_png_malformed_and_unsupported_raise():
+    import pytest as _pytest
+
+    from sptag_spark.functions.multimodal import decode_image_real
+
+    with _pytest.raises(ValueError, match="IHDR|chunk"):
+        decode_image_real(b"\x89PNG\r\n\x1a\n....", {})
+    # 16-bit PNG: valid signature + IHDR with depth=16 -> named boundary
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    with _pytest.raises(NotImplementedError, match="16"):
+        decode_image_real(b"\x89PNG\r\n\x1a\n" + chunk, {})
+
+
 def test_compressed_codecs_raise_named_boundary():
     import pytest as _pytest
 
@@ -135,7 +182,7 @@ def test_compressed_codecs_raise_named_boundary():
     )
 
     with _pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image_real(b"\x89PNG\r\n\x1a\n....", {})
+        decode_image_real(b"\xff\xd8\xff\xe0....", {})   # JPEG magic
     with _pytest.raises(NotImplementedError, match="ffmpeg"):
         decode_audio_real(b"\xff\xfb\x90\x00....", {})
 
