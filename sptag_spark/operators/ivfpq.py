@@ -355,6 +355,104 @@ def _adc_tables_frame(
     return q.mapInArrow(run, schema=out_schema)
 
 
+def _adc_partials_cogrouped(
+    post_codes: DataFrame,
+    probes: DataFrame,
+    q_quant: DataFrame,
+    books: np.ndarray,
+    rerank: int,
+    id_col: str,
+) -> DataFrame:
+    """Per-BUCKET ADC scoring with per-query partial top-`rerank` AND
+    fused exact re-rank inputs — the reference's ProcessPosting shape
+    (ExtraStaticSearcher.h:260-411: a posting is scanned once against
+    every query probing it, each query keeps a bounded heap). Cogroup
+    postings x probes on bucket; inside each bucket ONE numpy pass
+    builds the (queries, rows) int64 ADC matrix (table gathers, math
+    identical to _adc_tables_frame), a stable argsort over rows
+    pre-sorted by id gives the exact (adc ASC, id ASC) partial order,
+    and the surviving pairs get their EXACT int64 dot/norms computed
+    on the spot — so the downstream exact re-rank is a scalar
+    expression over ~Q x nprobe x rerank rows, with no second postings
+    read and no rerank join.
+
+    Why not the expression path for waves: scoring Q x nprobe x
+    |posting| candidate ROWS materializes tens of millions of rows
+    through two shuffles (dedup + rank window), per-row interpreted
+    HOF scoring, and flattens at high thread counts (JVM allocation
+    contention — CLAUDE.md rules 10/13); here the pair blowup exists
+    only as a numpy matrix inside Arrow workers.
+
+    post_codes must carry `__pv` (JVM-quantized ORIGINAL-space vector);
+    q_quant must carry `__q` (index-space, i.e. rotated for OPQ) and
+    `__qo` (original-space) quantized query columns."""
+    import pandas as pd
+
+    m, kk, dsub = books.shape
+    out_schema = StructType([
+        StructField("query_id", probes.schema["query_id"].dataType),
+        StructField(id_col, post_codes.schema[id_col].dataType),
+        StructField("_adc", LongType()),
+        StructField("_dot", LongType()),
+        StructField("_na", LongType()),
+        StructField("_nb", LongType()),
+    ])
+    # cogroup sides must not share data-column names (Spark 4 prunes
+    # by name under narrow consumers — see asof._asof_merge), and the
+    # grouping keys MUST share a dtype: the postings' partition column
+    # is directory-inferred (int), the probe frame carries centroid_id
+    # (long) — misaligned key types silently fail to cogroup
+    probe_q = probes.join(q_quant, "query_id").select(
+        F.col("bucket").cast(post_codes.schema["bucket"].dataType)
+        .alias("__pb_bucket"), "query_id", "__q", "__qo")
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({
+                "query_id": [], id_col: [], "_adc": [], "_dot": [],
+                "_na": [], "_nb": [],
+            }).astype({c: np.int64 for c in ("_adc", "_dot", "_na", "_nb")})
+        vids_raw = left[id_col].values
+        order = np.argsort(vids_raw, kind="stable")  # id ASC tiebreak
+        vids = vids_raw[order]
+        codes = np.stack(left["codes"].values)[order].astype(np.int64)
+        PV = np.stack(left["__pv"].values)[order].astype(np.int64)
+        Xq = np.stack(right["__q"].values).astype(np.int64)
+        Xqo = np.stack(right["__qo"].values).astype(np.int64)
+        qids = right["query_id"].values
+        nq, n = len(Xq), len(vids)
+        adc = np.zeros((nq, n), dtype=np.int64)
+        for s in range(m):
+            T = ((Xq[:, None, s * dsub:(s + 1) * dsub]
+                  - books[s][None]) ** 2).sum(-1)       # (nq, kk) int64
+            adc += T[:, codes[:, s]]
+        self_mask = qids[:, None] == vids[None, :]
+        adc[self_mask] = np.iinfo(np.int64).max          # sort last
+        r = min(rerank, n)
+        # stable argsort over id-ascending columns == (adc, id) order
+        sel = np.argsort(adc, axis=1, kind="stable")[:, :r]  # (nq, r)
+        # exact int64 dot/norms for ONLY the surviving pairs (original
+        # space, identical to the JVM idot math)
+        G = PV[sel]                                      # (nq, r, dim)
+        dots = (G * Xqo[:, None, :]).sum(-1)             # (nq, r)
+        na = (PV * PV).sum(1)[sel]                       # (nq, r)
+        nb = (Xqo * Xqo).sum(1)                          # (nq,)
+        out_q = np.repeat(qids, r)
+        out_v = vids[sel.reshape(-1)]
+        keep = out_q != out_v                            # drop self pairs
+        return pd.DataFrame({
+            "query_id": out_q[keep], id_col: out_v[keep],
+            "_adc": np.take_along_axis(adc, sel, 1).reshape(-1)[keep],
+            "_dot": dots.reshape(-1)[keep],
+            "_na": na.reshape(-1)[keep],
+            "_nb": np.repeat(nb, r)[keep],
+        })
+
+    return post_codes.groupby("bucket").cogroup(
+        probe_q.groupby("__pb_bucket")
+    ).applyInPandas(score, schema=out_schema)
+
+
 def ivf_pq_probe(
     spark,
     path: str,
@@ -408,10 +506,6 @@ def ivf_pq_probe(
         scratch_dir=probe_scratch_dir)
     big = mode == "join"
 
-    tables = _adc_tables_frame(q_probe, books, id_col, q_probe_vec)
-    if not big:
-        tables = F.broadcast(tables)
-
     # ADC scan: codes-only pruned read — the embedding column never
     # enters this scan (column pruning; asserted in test_plans.py).
     post = read_postings(spark, path, id_col)
@@ -420,38 +514,74 @@ def ivf_pq_probe(
     def pruned(cols):
         return prune(post.select(*cols))
 
-    post_codes = pruned([id_col, "bucket", "codes"])
-    adc = None
-    for s in range(m):
-        term = F.element_at(
-            F.element_at(F.col("_t"), s + 1),
-            F.element_at(F.col("codes"), s + 1) + 1,
-        )
-        adc = term if adc is None else adc + term
-    cand_pairs = (
-        post_codes.join(probes_local, "bucket")
-        .filter(F.col(id_col) != F.col("query_id"))
-    )
-    if replicated:
-        # replica copies carry identical codes: one ADC score per
-        # (query, vector), not per surviving replica posting
-        cand_pairs = cand_pairs.drop("bucket") \
-            .dropDuplicates(["query_id", id_col])
-    scored = (
-        cand_pairs
-        .join(tables, "query_id")
-        .withColumn("_adc", adc.cast("long"))
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_adc").asc(), F.col(id_col).asc()
     )
-    cand = (
-        scored.withColumn("_arn", F.row_number().over(w))
-        .filter(F.col("_arn") <= rerank)
-        .select("query_id", id_col)
-    )
-    if not big:
-        cand = F.broadcast(cand)
+    if big:
+        # wave path: per-bucket cogrouped numpy scoring, partial
+        # top-rerank per (bucket, query) with fused exact-rerank dot/
+        # norms — the candidate-pair blowup never becomes Spark rows
+        # and the embedding column never leaves the kernel scan
+        # (see _adc_partials_cogrouped)
+        post_kern = prune(
+            post.select(id_col, "bucket", "codes",
+                        quantize(F.col(vec_col)).alias("__pv")))
+        q_quant = q_probe.select(
+            F.col(id_col).alias("query_id"),
+            quantize(F.col(q_probe_vec)).alias("__q"),
+            quantize(F.col(vec_col)).alias("__qo"),
+        )
+        partial = _adc_partials_cogrouped(
+            post_kern, probes_local, q_quant, books, rerank, id_col)
+        if replicated:
+            # replica copies carry identical codes => identical _adc:
+            # one candidate per (query, vector)
+            partial = partial.dropDuplicates(["query_id", id_col])
+        from sptag_spark.operators.knn import cosine_from_quantized
+
+        wk = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col(id_col).asc()
+        )
+        return (
+            partial.withColumn("_arn", F.row_number().over(w))
+            .filter(F.col("_arn") <= rerank)
+            .withColumn("cosine", cosine_from_quantized(
+                F.col("_dot"), F.col("_na"), F.col("_nb")))
+            .withColumn("rank", F.row_number().over(wk))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col(id_col).alias("vec_id"), "cosine",
+                    F.col("rank").cast("int").alias("rank"))
+        )
+    else:
+        post_codes = pruned([id_col, "bucket", "codes"])
+        tables = F.broadcast(
+            _adc_tables_frame(q_probe, books, id_col, q_probe_vec))
+        adc = None
+        for s in range(m):
+            term = F.element_at(
+                F.element_at(F.col("_t"), s + 1),
+                F.element_at(F.col("codes"), s + 1) + 1,
+            )
+            adc = term if adc is None else adc + term
+        cand_pairs = (
+            post_codes.join(probes_local, "bucket")
+            .filter(F.col(id_col) != F.col("query_id"))
+        )
+        if replicated:
+            # replica copies carry identical codes: one ADC score per
+            # (query, vector), not per surviving replica posting
+            cand_pairs = cand_pairs.drop("bucket") \
+                .dropDuplicates(["query_id", id_col])
+        scored = (
+            cand_pairs
+            .join(tables, "query_id")
+            .withColumn("_adc", adc.cast("long"))
+        )
+        cand = F.broadcast(
+            scored.withColumn("_arn", F.row_number().over(w))
+            .filter(F.col("_arn") <= rerank)
+            .select("query_id", id_col)
+        )
 
     # Exact re-rank: second pruned read, embeddings for ONLY the
     # surviving candidates (broadcast semi-shape join on id for query

@@ -1165,6 +1165,85 @@ def replica_histogram(spark, path: str, id_col: str = "vec_id") -> DataFrame:
     )
 
 
+def _exact_partials_cogrouped(
+    post_kern: DataFrame,
+    probes: DataFrame,
+    q_quant: DataFrame,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Per-BUCKET exact-cosine scoring with per-query partial top-`k` —
+    the flat-index twin of ivfpq._adc_partials_cogrouped (the
+    reference's ProcessPosting shape, ExtraStaticSearcher.h:260-411).
+    One int64 matmul per (bucket x probing-query) block, float64
+    cosine identical to the JVM expression (dot / (sqrt(na)*sqrt(nb)),
+    same op order), stable argsort over id-presorted columns for the
+    exact (cosine DESC, id ASC) partial order. Downstream shuffles
+    carry only ~Q x nprobe x k rows instead of Q x nprobe x |posting|
+    candidate rows through interpreted HOF scoring (CLAUDE.md rules
+    10/13). Emits (query_id, id, _dot, _na, _nb); the caller
+    recomputes cosine with the shared JVM expression so global
+    ordering is bit-identical to the driver path.
+
+    post_kern carries `__pv` (JVM-quantized vector); q_quant carries
+    `__q` (same quantization). Zero-norm vectors (NaN cosine) sort
+    last here but first under Spark's NaN-greatest DESC — as with the
+    expression path, zero vectors are out of contract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("query_id", probes.schema["query_id"].dataType),
+        StructField(id_col, post_kern.schema[id_col].dataType),
+        StructField("_dot", LongType()),
+        StructField("_na", LongType()),
+        StructField("_nb", LongType()),
+    ])
+    # key dtypes must match across cogroup sides (partition column is
+    # directory-inferred int, centroid_id is long); data-column names
+    # must not collide (asof._asof_merge rule)
+    probe_q = probes.join(q_quant, "query_id").select(
+        F.col("bucket").cast(post_kern.schema["bucket"].dataType)
+        .alias("__pb_bucket"), "query_id", "__q")
+
+    def score(left: "pd.DataFrame", right: "pd.DataFrame"):
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({
+                "query_id": [], id_col: [], "_dot": [], "_na": [],
+                "_nb": [],
+            }).astype({c: np.int64 for c in ("_dot", "_na", "_nb")})
+        vids_raw = left[id_col].values
+        order = np.argsort(vids_raw, kind="stable")  # id ASC tiebreak
+        vids = vids_raw[order]
+        PV = np.stack(left["__pv"].values)[order].astype(np.int64)
+        Xq = np.stack(right["__q"].values).astype(np.int64)
+        qids = right["query_id"].values
+        nq, n = len(Xq), len(vids)
+        dots = Xq @ PV.T                                 # (nq, n) int64
+        na = (PV * PV).sum(1)                            # (n,)
+        nb = (Xq * Xq).sum(1)                            # (nq,)
+        cos = dots.astype(np.float64) / (
+            np.sqrt(na.astype(np.float64))[None, :]
+            * np.sqrt(nb.astype(np.float64))[:, None])
+        cos[qids[:, None] == vids[None, :]] = -np.inf    # self: sort last
+        r = min(k, n)
+        sel = np.argsort(-cos, axis=1, kind="stable")[:, :r]  # (nq, r)
+        out_q = np.repeat(qids, r)
+        out_v = vids[sel.reshape(-1)]
+        keep = out_q != out_v
+        return pd.DataFrame({
+            "query_id": out_q[keep], id_col: out_v[keep],
+            "_dot": np.take_along_axis(dots, sel, 1).reshape(-1)[keep],
+            "_na": na[sel].reshape(-1)[keep],
+            "_nb": np.repeat(nb, r)[keep],
+        })
+
+    return post_kern.groupby("bucket").cogroup(
+        probe_q.groupby("__pb_bucket")
+    ).applyInPandas(score, schema=out_schema)
+
+
 def probe_pruned_topk(
     spark,
     path: str,
@@ -1207,17 +1286,42 @@ def probe_pruned_topk(
     mode, probes_resolved, prune = _resolve_probes(
         spark, path, probes, queries, probe_mode, driver_probe_limit,
         scratch_dir=probe_scratch_dir)
-    qvec = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    if mode == "driver":
-        qvec = F.broadcast(qvec)
-    postings = prune(read_postings(spark, path, id_col))
+    postings = read_postings(spark, path, id_col)
     replicated = "replica_rank" in postings.columns
     if predicate is not None:
         postings = postings.filter(predicate)
+    if mode == "join":
+        # wave path: per-bucket cogrouped numpy scoring with partial
+        # top-k — the candidate-pair blowup never becomes Spark rows
+        # (see _exact_partials_cogrouped)
+        post_kern = prune(postings.select(
+            id_col, "bucket", quantize(F.col(vec_col)).alias("__pv")))
+        q_quant = queries.select(
+            F.col(id_col).alias("query_id"),
+            quantize(F.col(vec_col)).alias("__q"),
+        )
+        partial = _exact_partials_cogrouped(
+            post_kern, probes_resolved, q_quant, k, id_col)
+        if replicated:
+            # replica copies of a row score identically: one candidate
+            # per (query, vector) (the reference's visited set, P5)
+            partial = partial.dropDuplicates(["query_id", id_col])
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col(id_col).asc()
+        )
+        return (
+            partial.withColumn("cosine", cosine_from_quantized(
+                F.col("_dot"), F.col("_na"), F.col("_nb")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col(id_col).alias("vec_id"), "cosine",
+                    F.col("rank").cast("int").alias("rank"))
+        )
+    qvec = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ))
     candidates = (
-        postings.join(probes_resolved, "bucket")
+        prune(postings).join(probes_resolved, "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
     )
     if replicated:
@@ -1266,7 +1370,18 @@ def _resolve_probes(spark, path: str, probes: DataFrame,
         probe_tbl = f"{base}/{uuid.uuid4().hex}"
         probes.write.mode("overwrite").parquet(probe_tbl)
         probes_resolved = spark.read.parquet(probe_tbl)
-        bucket_set = probes_resolved.select("bucket").distinct()
+        from pyspark.sql.types import NumericType
+
+        bucket_set = probes_resolved.select("bucket")
+        if isinstance(bucket_set.schema["bucket"].dataType, NumericType):
+            # constant-true comparison: PartitionPruning only inserts
+            # the DPP subquery when the build side carries a "likely
+            # selective" predicate (isnotnull does not count); without
+            # it the semi join filters ROWS but the scan reads every
+            # bucket FILE (plan-gated in test_plans.py)
+            bucket_set = bucket_set.filter(
+                F.col("bucket") >= F.lit(-(1 << 62)))
+        bucket_set = bucket_set.distinct()
 
         def prune(post: DataFrame) -> DataFrame:
             return post.join(F.broadcast(bucket_set), "bucket", "semi")
