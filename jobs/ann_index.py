@@ -7,6 +7,7 @@
     ... ann_index.py delete  --keys /data/deleted.parquet --index /data/idx
     ... ann_index.py compact --index /data/idx [--max-posting-size N]
     ... ann_index.py split   --index /data/idx --max-posting-size N
+    ... ann_index.py merge   --index /data/idx --min-posting-size N
     ... ann_index.py search  --index /data/idx --queries /data/q.parquet \
         --out /data/results.parquet [--k 10] [--nprobe 8] [--rerank 64] \
         [--probe-mode auto|driver|join] [--max-dist-ratio R] \
@@ -16,7 +17,8 @@
 RNG-pruned head postings (the reference's ReplicaCount closure);
 `split` evolves the head set by 2-means-splitting over-limit postings
 (lossless; `compact --max-posting-size` is the lossy distance-ordered
-cap).
+cap); `merge` retires under-limit heads and folds their rows into the
+nearest surviving postings (the SPFresh merge-on-underflow).
 
 The CLI surface of the reference's IndexBuilder + SSDServing mains
 (AnnService/src/IndexBuilder/main.cpp:1-150, SSDServing/main.cpp) over
@@ -62,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("split")
     sp.add_argument("--index", required=True)
     sp.add_argument("--max-posting-size", type=int, required=True)
+
+    mg = sub.add_parser("merge")
+    mg.add_argument("--index", required=True)
+    mg.add_argument("--min-posting-size", type=int, required=True)
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
@@ -131,6 +137,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "split":
         metrics["splits"] = knn.ivf_split(
             spark, args.index, max_posting_size=args.max_posting_size)
+        metrics["rows"] = spark.read.parquet(
+            f"{args.index}/postings").count()
+        metrics["heads"] = spark.read.parquet(
+            f"{args.index}/centroids").count()
+    elif args.cmd == "merge":
+        metrics["merged"] = knn.ivf_merge(
+            spark, args.index, min_posting_size=args.min_posting_size)
         metrics["rows"] = spark.read.parquet(
             f"{args.index}/postings").count()
         metrics["heads"] = spark.read.parquet(

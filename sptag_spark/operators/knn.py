@@ -985,6 +985,22 @@ def _sweep_orphan_partitions(spark, path: str) -> None:
             shutil.rmtree(os.path.join(post_dir, d))
 
 
+def _index_work_vec(spark, path: str, df: DataFrame, vec_col: str):
+    """(df', work_col) for head-set maintenance: rotated (OPQ) indexes
+    keep their HEADS in the rotated space while postings carry the
+    original embedding, so split/merge must cluster and assign in head
+    space — append a rotated column through the stored R
+    (ivfpq._read_rotation) and work on that. Identity for flat/plain-PQ
+    indexes."""
+    if read_index_meta(spark, path).get("rotated"):
+        from sptag_spark.operators.ivfpq import _read_rotation
+        from sptag_spark.operators.pq import opq_rotate_col
+
+        return (opq_rotate_col(df, _read_rotation(spark, path),
+                               vec_col, "__hs"), "__hs")
+    return df, vec_col
+
+
 def ivf_split(
     spark,
     path: str,
@@ -1016,7 +1032,12 @@ def ivf_split(
     the centroid table until the swap, hence invisible to probes), the
     centroid swap is rename-rename-delete with entry recovery, and a
     crash before the old partition's deletion leaves an orphan that the
-    entry-time sweep removes."""
+    entry-time sweep removes.
+
+    On a rotated (OPQ) index the 2-means, head selection, and the stored
+    head vectors all live in the HEAD space (vec @ R) — the centroid
+    table must stay single-space or probes would rank rotated queries
+    against unrotated heads."""
     import shutil
 
     import numpy as np
@@ -1040,10 +1061,13 @@ def ivf_split(
         cents = spark.read.parquet(f"{path}/centroids")
         max_label = cents.agg(F.max("centroid_id")).collect()[0][0]
 
-        sub = post.filter(F.col("bucket").isin(over)).withColumn(
-            "__q", quantize(F.col(vec_col)))
+        # rotated (OPQ) indexes: cluster + pick heads in HEAD space (the
+        # centroid table lives there); rows keep the original embedding
+        sub0, wv = _index_work_vec(
+            spark, path, post.filter(F.col("bucket").isin(over)), vec_col)
+        sub = sub0.withColumn("__q", quantize(F.col(wv)))
         out_schema = StructType(
-            [f for f in post.schema.fields]
+            [f for f in sub0.schema.fields]
             + [StructField("__side", IntegerType()),
                StructField("__is_head", IntegerType())]
         )
@@ -1091,11 +1115,13 @@ def ivf_split(
 
         assigned = sub.groupBy("bucket").applyInPandas(
             split_bucket, schema=out_schema).cache()
-        # fresh labels, deterministic: (old bucket ASC, side ASC)
+        # fresh labels, deterministic: (old bucket ASC, side ASC); head
+        # vectors are collected from the HEAD-space column so the
+        # centroid table stays in one space
         label_rows = sorted(
-            (r["bucket"], r["__side"], r[id_col], r[vec_col])
+            (r["bucket"], r["__side"], r[id_col], r[wv])
             for r in assigned.filter(F.col("__is_head") == 1)
-            .select("bucket", "__side", id_col, vec_col).collect()
+            .select("bucket", "__side", id_col, wv).collect()
         )
         labels = {(b, s): max_label + 1 + i
                   for i, (b, s, _, _) in enumerate(label_rows)}
@@ -1131,6 +1157,100 @@ def ivf_split(
         assigned.unpersist()
         n_splits += len(over)
     return n_splits
+
+
+def ivf_merge(
+    spark,
+    path: str,
+    min_posting_size: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Retire under-limit heads and fold their rows into the nearest
+    SURVIVING postings — the merge-on-underflow half of head-set
+    evolution (the reference's SPFresh MergeAsync,
+    ExtraDynamicSearcher.h:895-1146), the inverse of ivf_split. Every
+    head with fewer than `min_posting_size` LIVE rows (tombstones
+    excluded — a delete-heavy bucket is exactly the merge trigger) is
+    retired: its rows re-assign top-1 against the surviving heads (the
+    build's Arrow argmin kernel; rotated (OPQ) indexes assign in head
+    space), PQ codes ride along unchanged (rotation and codebooks are
+    pinned), and the head leaves the centroid table so probes never
+    select it again. At least one head always survives: if every
+    posting is under the limit, the largest (live count DESC, bucket
+    ASC tiebreak) is kept.
+
+    On a replicated index a moved copy whose vector already has a copy
+    in its target posting is dropped (one copy per (vector, posting) —
+    probes dedupe candidates, but posting sizes and the replica
+    histogram must not double-count); copies landing on distinct
+    surviving heads are kept.
+
+    Implemented as a compaction-class rewrite through the same
+    crash-safe postings+centroids swap as ivf_compact (tombstones fold
+    in and the log clears) — merge cadence is compact cadence. A crash
+    between the postings swap and the centroid swap leaves the retired
+    heads pointing at deleted partitions: probes degrade gracefully
+    (those heads return no rows) and the next merge entry self-heals —
+    the now-empty heads re-qualify as under-limit and retire with
+    nothing to move.
+
+    Returns the number of retired heads."""
+    import os
+    import shutil
+
+    _require_local_index_path(path, "ivf_merge")
+    _recover_compact_swap(path)
+    _sweep_orphan_partitions(spark, path)
+
+    live = read_postings(spark, path, id_col)
+    cents = spark.read.parquet(f"{path}/centroids")
+    counts = {r["bucket"]: r["n"] for r in live.groupBy("bucket")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    all_heads = sorted(r["centroid_id"] for r in
+                       cents.select("centroid_id").collect())
+    under = [b for b in all_heads
+             if counts.get(b, 0) < min_posting_size]
+    if under and len(under) == len(all_heads):
+        keep_head = max(all_heads,
+                        key=lambda b: (counts.get(b, 0), -b))
+        under = [b for b in under if b != keep_head]
+    if not under:
+        return 0
+
+    surv_cents = cents.filter(~F.col("centroid_id").isin(under))
+    bucket_type = cents.schema["centroid_id"].dataType
+    keep = live.filter(~F.col("bucket").isin(under)).withColumn(
+        "bucket", F.col("bucket").cast(bucket_type))
+    moved = live.filter(F.col("bucket").isin(under)).drop("bucket")
+    work, wv = _index_work_vec(spark, path, moved, vec_col)
+    reassigned = assign_buckets(work, surv_cents, id_col, wv)
+    if wv != vec_col:
+        reassigned = reassigned.drop(wv)
+    if "replica_rank" in live.columns:
+        # copies of one vector from several retiring heads can target
+        # the same survivor, and the vector may already live there:
+        # keep the nearest-ranked copy per (vector, target), drop
+        # collisions with existing copies
+        wd = Window.partitionBy(id_col, "bucket").orderBy(
+            F.col("replica_rank").asc())
+        reassigned = (
+            reassigned.withColumn("__mn", F.row_number().over(wd))
+            .filter(F.col("__mn") == 1).drop("__mn")
+            .join(keep.select(id_col, "bucket"), [id_col, "bucket"],
+                  "anti")
+        )
+    new_post = keep.unionByName(reassigned.select(*keep.columns))
+    _write_postings(new_post, f"{path}/postings_compacting", "overwrite")
+    _swap_dir(path, "postings")
+    surv_cents.write.mode("overwrite") \
+        .parquet(f"{path}/centroids_compacting")
+    _swap_dir(path, "centroids")
+    tomb_dir = f"{path}/tombstones"
+    if os.path.isdir(tomb_dir):
+        shutil.rmtree(tomb_dir)
+    cleanup_probe_tables(path)
+    return len(under)
 
 
 def cleanup_probe_tables(path_or_scratch_dir: str) -> None:

@@ -1,0 +1,197 @@
+"""Head merge on underflow — the other half of head-set evolution
+(reference SPFresh merge, ExtraDynamicSearcher.h:895-1146): under-limit
+postings retire their head and fold their rows into the nearest
+SURVIVING postings. Vectors are never dropped, the head set shrinks, and
+for a single-assignment index the merged index probes IDENTICALLY to a
+from-scratch build pinned on the surviving heads (a kept row's argmax
+head survived, so dropping losers can't change its argmax; a moved row's
+rebuild argmax among survivors IS the merge reassignment).
+
+Also gates the rotated-(OPQ)-index head-space invariant for BOTH
+split and merge: the centroid table must stay in head space (vec @ R) —
+registering original-space rows as heads would silently degrade probe
+head selection."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from sptag_spark.operators.ivfpq import (
+    _read_rotation,
+    ivf_pq_build,
+    ivf_pq_probe,
+)
+from sptag_spark.operators.knn import (
+    brute_force_topk,
+    ivf_build,
+    ivf_delete,
+    ivf_merge,
+    ivf_probe,
+    ivf_split,
+    recall_at_k,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
+
+
+def _sizes(spark, path):
+    return {
+        r["bucket"]: r["n"] for r in spark.read.parquet(f"{path}/postings")
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def _heads(spark, path):
+    return {r["centroid_id"] for r in spark.read
+            .parquet(f"{path}/centroids").collect()}
+
+
+def _probe_sorted(spark, path, q, **kw):
+    return sorted(
+        (r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+        for r in ivf_probe(spark, path, q, **kw).collect()
+    )
+
+
+def test_merge_retires_under_heads_drops_nothing(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    ivf_build(emb, 16, path)                # ~31 rows/bucket, uneven
+    n = emb.count()
+    before = _sizes(spark, path)
+    limit = 25
+    assert any(v < limit for v in before.values())  # fixture sanity
+    merged = ivf_merge(spark, path, min_posting_size=limit)
+    assert merged == sum(1 for v in before.values() if v < limit)
+    heads = _heads(spark, path)
+    assert len(heads) == len(before) - merged
+    post = spark.read.parquet(f"{path}/postings")
+    assert post.count() == n                # zero vectors dropped
+    assert post.select("vec_id").distinct().count() == n
+    assert {r["bucket"] for r in
+            post.select("bucket").distinct().collect()} <= heads
+    # idempotent second pass may retire more (folding grows survivors,
+    # but freshly-under heads never reappear); eventually a fixpoint
+    assert ivf_merge(spark, path, min_posting_size=0) == 0
+
+
+def test_merge_probe_matches_pinned_rebuild(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    ivf_build(emb, 16, path)
+    assert ivf_merge(spark, path, min_posting_size=25) > 0
+    cents = spark.read.parquet(f"{path}/centroids")
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf_build(emb, 16, rebuilt, centroids=cents)
+    q = emb.filter("vec_id < 8")
+    got = _probe_sorted(spark, path, q, k=5, nprobe=4)
+    assert got and got == _probe_sorted(spark, rebuilt, q, k=5, nprobe=4)
+
+
+def test_merge_keeps_at_least_one_head(spark, emb, tmp_path):
+    path = str(tmp_path / "idx")
+    ivf_build(emb, 8, path)
+    n = emb.count()
+    ivf_merge(spark, path, min_posting_size=10**9)
+    assert len(_heads(spark, path)) == 1
+    assert spark.read.parquet(f"{path}/postings").count() == n
+    # one bucket == exhaustive scan: nprobe=1 is exact
+    q = emb.filter("vec_id < 8")
+    exact = brute_force_topk(emb, q, k=10)
+    assert recall_at_k(
+        ivf_probe(spark, path, q, k=10, nprobe=1), exact) == 1.0
+
+
+def test_merge_folds_tombstones_and_clears_log(spark, emb, tmp_path):
+    """Deletes shrink postings below the limit — the merge trigger; the
+    rewrite drops tombstoned rows for good and clears the log."""
+    path = str(tmp_path / "idx")
+    ivf_build(emb, 8, path)                 # ~62 rows/bucket
+    ivf_delete(spark, path, emb.filter("vec_id % 4 != 0").select("vec_id"))
+    merged = ivf_merge(spark, path, min_posting_size=40)
+    assert merged > 0
+    post = spark.read.parquet(f"{path}/postings")
+    live = emb.filter("vec_id % 4 = 0").count()
+    assert post.count() == live
+    assert post.filter("vec_id % 4 != 0").count() == 0
+    assert not os.path.isdir(f"{path}/tombstones")
+
+
+def test_merge_replicated_keeps_copies_unique(spark, emb, tmp_path):
+    """Replica copies from retiring heads fold in without ever
+    double-counting a (vector, posting) pair, and no vector loses its
+    last copy."""
+    path = str(tmp_path / "idx")
+    ivf_build(emb, 16, path, replica_count=2)
+    n = emb.count()
+    limit = sorted(_sizes(spark, path).values())[3] + 1  # >=4 retire
+    assert ivf_merge(spark, path, min_posting_size=limit) > 0
+    post = spark.read.parquet(f"{path}/postings")
+    pairs = post.select("vec_id", "bucket")
+    assert pairs.count() == pairs.distinct().count()
+    assert post.select("vec_id").distinct().count() == n
+    res = ivf_probe(spark, path, emb.filter("vec_id < 8"), k=10, nprobe=4)
+    got = [(r["query_id"], r["vec_id"]) for r in res.collect()]
+    assert len(got) == len(set(got)) > 0
+
+
+def test_merge_is_deterministic(spark, emb, tmp_path):
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (pa, pb):
+        ivf_build(emb, 16, p)
+        ivf_merge(spark, p, min_posting_size=25)
+    rows = lambda p: sorted(  # noqa: E731
+        map(tuple, spark.read.parquet(f"{p}/postings")
+            .select("vec_id", "bucket").collect()))
+    assert rows(pa) == rows(pb)
+
+
+def _head_space_ok(spark, path, emb):
+    """Every centroid vector must be (some posting row's embedding) @ R
+    — i.e. the head set lives in the rotated head space."""
+    R = _read_rotation(spark, path)
+    X = np.array([r["embedding"] for r in emb.collect()],
+                 dtype=np.float64) @ R
+    rotated = {tuple(np.round(v, 6)) for v in X}
+    cents = [np.array(r["centroid_vec"], dtype=np.float64) for r in
+             spark.read.parquet(f"{path}/centroids").collect()]
+    return all(tuple(np.round(c, 6)) in rotated for c in cents)
+
+
+def test_split_rotated_index_heads_stay_in_head_space(spark, emb,
+                                                      tmp_path):
+    path = str(tmp_path / "idx")
+    ivf_pq_build(emb, 4, path, m=4, k_codes=16, rotation="opq")
+    assert _head_space_ok(spark, path, emb)      # build invariant
+    assert ivf_split(spark, path, max_posting_size=60) > 0
+    assert _head_space_ok(spark, path, emb)      # split preserves it
+    q = emb.filter("vec_id < 8")
+    res = ivf_pq_probe(spark, path, q, k=5, nprobe=8, rerank=64)
+    assert res.count() == 40
+
+
+def test_merge_rotated_ivfpq_assigns_in_head_space(spark, emb, tmp_path):
+    """Merging a rotated composed index: codes and rotation are pinned
+    (rows move untouched), reassignment happens in head space, and the
+    ADC probe keeps working with sane recall."""
+    path = str(tmp_path / "idx")
+    ivf_pq_build(emb, 16, path, m=4, k_codes=16, rotation="opq")
+    n = emb.count()
+    assert ivf_merge(spark, path, min_posting_size=25) > 0
+    assert _head_space_ok(spark, path, emb)
+    post = spark.read.parquet(f"{path}/postings")
+    assert post.count() == n
+    q = emb.filter("vec_id < 8")
+    res = ivf_pq_probe(spark, path, q, k=5, nprobe=8, rerank=10**6)
+    exact = brute_force_topk(emb, q, k=5)
+    assert recall_at_k(res, exact) > 0.5
