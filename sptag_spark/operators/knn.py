@@ -925,7 +925,11 @@ def ivf_compact(
                 F.col("centroid_id").alias("bucket"),
                 quantize(F.col("centroid_vec")).alias("__cq"),
             )
-            cq = quantize(F.col(vec_col))
+            # rotated (OPQ) indexes store heads in head space — the cap
+            # distance must be measured there too (same invariant as
+            # split/merge), or the ordering silently mixes spaces
+            post, wv = _index_work_vec(spark, path, post, vec_col)
+            cq = quantize(F.col(wv))
             d2 = (idot(cq, cq) + idot(F.col("__cq"), F.col("__cq"))
                   - 2 * idot(cq, F.col("__cq")))
             w = Window.partitionBy("bucket").orderBy(
@@ -936,6 +940,8 @@ def ivf_compact(
                 .filter(F.col("__pn") <= max_posting_size)
                 .drop("__pn", "__cq")
             )
+            if wv != vec_col:
+                post = post.drop(wv)
         elif cap_order == "hash":
             w = Window.partitionBy("bucket").orderBy(
                 F.xxhash64(F.col(id_col)), F.col(id_col)

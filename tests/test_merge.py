@@ -180,6 +180,43 @@ def test_split_rotated_index_heads_stay_in_head_space(spark, emb,
     assert res.count() == 40
 
 
+def test_compact_cap_rotated_orders_in_head_space(spark, emb, tmp_path):
+    """The distance-ordered posting cap on a rotated (OPQ) index must
+    measure distance-to-head in HEAD space (vec @ R) — the centroid
+    lives there; mixing spaces silently mis-orders the eviction."""
+    from sptag_spark.operators.knn import ivf_compact, quantize
+
+    path = str(tmp_path / "idx")
+    ivf_pq_build(emb, 4, path, m=4, k_codes=16, rotation="opq")
+    R = _read_rotation(spark, path)
+    post = spark.read.parquet(f"{path}/postings") \
+        .select("vec_id", "bucket", "embedding").collect()
+    cents = {r["centroid_id"]: np.array(r["centroid_vec"])
+             for r in spark.read.parquet(f"{path}/centroids").collect()}
+    cap = 40
+
+    def q(v):  # the JVM quantize: round(x * 1000) as int64
+        return np.round(np.asarray(v, dtype=np.float64) * 1000.0
+                        ).astype(np.int64)
+
+    expect = {}
+    by_bucket = {}
+    for r in post:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for b, rows in by_bucket.items():
+        cq = q(cents[b])
+        scored = sorted(
+            (int(((q(np.array(r["embedding"]) @ R) - cq) ** 2).sum()),
+             r["vec_id"]) for r in rows)
+        expect[b] = {v for _, v in scored[:cap]}
+    ivf_compact(spark, path, max_posting_size=cap)
+    got = {}
+    for r in spark.read.parquet(f"{path}/postings") \
+            .select("vec_id", "bucket").collect():
+        got.setdefault(r["bucket"], set()).add(r["vec_id"])
+    assert got == {b: v for b, v in expect.items()}
+
+
 def test_merge_rotated_ivfpq_assigns_in_head_space(spark, emb, tmp_path):
     """Merging a rotated composed index: codes and rotation are pinned
     (rows move untouched), reassignment happens in head space, and the
