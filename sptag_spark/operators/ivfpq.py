@@ -385,8 +385,19 @@ def _adc_partials_cogrouped(
 
     post_codes must carry `__pv` (JVM-quantized ORIGINAL-space vector);
     q_quant must carry `__q` (index-space, i.e. rotated for OPQ) and
-    `__qo` (original-space) quantized query columns."""
-    import pandas as pd
+    `__qo` (original-space) quantized query columns.
+
+    Arrow-native (applyInArrow + vecarrow zero-copy ingestion): the
+    pandas form boxed every posting row's codes/__pv into per-row
+    ndarrays — at wave scale that conversion dominated the kernel. The
+    gather accumulates in int32 when the table range provably fits
+    (half the memory traffic of the scan's hot loop; the scan is
+    bandwidth-bound, so this is also what the N->4N efficiency hinges
+    on), and top-`rerank` selection is an O(n) argpartition on the
+    exact (adc << ceil_log2(n)) | id_rank composite key — bit-identical
+    to the former stable argsort, without the per-row full sort."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
 
     m, kk, dsub = books.shape
     out_schema = StructType([
@@ -397,6 +408,7 @@ def _adc_partials_cogrouped(
         StructField("_na", LongType()),
         StructField("_nb", LongType()),
     ])
+    arrow_out = to_arrow_schema(out_schema)
     # cogroup sides must not share data-column names (Spark 4 prunes
     # by name under narrow consumers — see asof._asof_merge), and the
     # grouping keys MUST share a dtype: the postings' partition column
@@ -406,31 +418,43 @@ def _adc_partials_cogrouped(
         F.col("bucket").cast(post_codes.schema["bucket"].dataType)
         .alias("__pb_bucket"), "query_id", "__q", "__qo")
 
-    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({
-                "query_id": [], id_col: [], "_adc": [], "_dot": [],
-                "_na": [], "_nb": [],
-            }).astype({c: np.int64 for c in ("_adc", "_dot", "_na", "_nb")})
-        vids_raw = left[id_col].values
+    def score(left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        if left.num_rows == 0 or right.num_rows == 0:
+            return arrow_out.empty_table()
+        vids_raw = left.column(id_col).to_numpy(zero_copy_only=False)
         order = np.argsort(vids_raw, kind="stable")  # id ASC tiebreak
         vids = vids_raw[order]
-        codes = np.stack(left["codes"].values)[order].astype(np.int64)
-        PV = np.stack(left["__pv"].values)[order].astype(np.int64)
-        Xq = np.stack(right["__q"].values).astype(np.int64)
-        Xqo = np.stack(right["__qo"].values).astype(np.int64)
-        qids = right["query_id"].values
+        codes = list_to_matrix(left.column("codes"), np.int64)[order]
+        PV = list_to_matrix(left.column("__pv"), np.int64)[order]
+        Xq = list_to_matrix(right.column("__q"), np.int64)
+        Xqo = list_to_matrix(right.column("__qo"), np.int64)
+        qids = right.column("query_id").to_numpy(zero_copy_only=False)
         nq, n = len(Xq), len(vids)
-        adc = np.zeros((nq, n), dtype=np.int64)
+        T = np.stack([
+            ((Xq[:, None, s * dsub:(s + 1) * dsub]
+              - books[s][None]) ** 2).sum(-1)            # (nq, kk) int64
+            for s in range(m)
+        ])                                               # (m, nq, kk)
+        tmax = int(T.max()) if T.size else 0
+        # int32 gather when the summed score provably fits — the
+        # (nq, n) gather+add is the bandwidth-bound hot loop
+        dt = np.int32 if tmax * m < 2**31 - 1 else np.int64
+        Tg = T.astype(dt, copy=False)
+        adc = np.zeros((nq, n), dtype=dt)
         for s in range(m):
-            T = ((Xq[:, None, s * dsub:(s + 1) * dsub]
-                  - books[s][None]) ** 2).sum(-1)       # (nq, kk) int64
-            adc += T[:, codes[:, s]]
-        self_mask = qids[:, None] == vids[None, :]
-        adc[self_mask] = np.iinfo(np.int64).max          # sort last
+            adc += Tg[s][:, codes[:, s]]
+        adc[qids[:, None] == vids[None, :]] = np.iinfo(dt).max
         r = min(rerank, n)
-        # stable argsort over id-ascending columns == (adc, id) order
-        sel = np.argsort(adc, axis=1, kind="stable")[:, :r]  # (nq, r)
+        shift = max(int(n - 1).bit_length(), 1)
+        if tmax * m < 2 ** (62 - shift):
+            # exact O(n) top-r: composite (adc, id_rank) keys are
+            # distinct, argpartition's first r ARE the (adc ASC, id
+            # ASC) winners (self rows carry iinfo.max -> sort last)
+            comb = ((adc.astype(np.int64) << shift)
+                    | np.arange(n, dtype=np.int64)[None, :])
+            sel = np.argpartition(comb, r - 1, axis=1)[:, :r]
+        else:  # pathological magnitude: keep the stable full sort
+            sel = np.argsort(adc, axis=1, kind="stable")[:, :r]
         # exact int64 dot/norms for ONLY the surviving pairs (original
         # space, identical to the JVM idot math)
         G = PV[sel]                                      # (nq, r, dim)
@@ -440,17 +464,19 @@ def _adc_partials_cogrouped(
         out_q = np.repeat(qids, r)
         out_v = vids[sel.reshape(-1)]
         keep = out_q != out_v                            # drop self pairs
-        return pd.DataFrame({
-            "query_id": out_q[keep], id_col: out_v[keep],
-            "_adc": np.take_along_axis(adc, sel, 1).reshape(-1)[keep],
-            "_dot": dots.reshape(-1)[keep],
-            "_na": na.reshape(-1)[keep],
-            "_nb": np.repeat(nb, r)[keep],
-        })
+        return pa.Table.from_arrays([
+            pa.array(out_q[keep]),
+            pa.array(out_v[keep]),
+            pa.array(np.take_along_axis(adc, sel, 1)
+                     .reshape(-1)[keep].astype(np.int64)),
+            pa.array(dots.reshape(-1)[keep]),
+            pa.array(na.reshape(-1)[keep]),
+            pa.array(np.repeat(nb, r)[keep]),
+        ], schema=arrow_out)
 
     return post_codes.groupby("bucket").cogroup(
         probe_q.groupby("__pb_bucket")
-    ).applyInPandas(score, schema=out_schema)
+    ).applyInArrow(score, schema=out_schema)
 
 
 def ivf_pq_probe(
@@ -535,8 +561,11 @@ def ivf_pq_probe(
             post_kern, probes_local, q_quant, books, rerank, id_col)
         if replicated:
             # replica copies carry identical codes => identical _adc:
-            # one candidate per (query, vector)
-            partial = partial.dropDuplicates(["query_id", id_col])
+            # one candidate per (query, vector). Repartitioning on
+            # query_id first lets the dedup AND both ranking windows
+            # share one exchange (subset-clustering satisfaction)
+            partial = partial.repartition("query_id") \
+                .dropDuplicates(["query_id", id_col])
         from sptag_spark.operators.knn import cosine_from_quantized
 
         wk = Window.partitionBy("query_id").orderBy(

@@ -1314,9 +1314,17 @@ def _exact_partials_cogrouped(
     post_kern carries `__pv` (JVM-quantized vector); q_quant carries
     `__q` (same quantization). Zero-norm vectors (NaN cosine) sort
     last here but first under Spark's NaN-greatest DESC — as with the
-    expression path, zero vectors are out of contract."""
+    expression path, zero vectors are out of contract.
+
+    Arrow-native (applyInArrow + vecarrow zero-copy ingestion, like
+    ivfpq._adc_partials_cogrouped); the dot-product matmul runs as
+    float64 BLAS whenever max|q| * max|pv| * dim < 2^53 proves every
+    partial sum exactly representable (numpy's int64 matmul is a naive
+    C loop), falling back to the int64 path otherwise — bit-identical
+    either way."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType([
@@ -1326,6 +1334,7 @@ def _exact_partials_cogrouped(
         StructField("_na", LongType()),
         StructField("_nb", LongType()),
     ])
+    arrow_out = to_arrow_schema(out_schema)
     # key dtypes must match across cogroup sides (partition column is
     # directory-inferred int, centroid_id is long); data-column names
     # must not collide (asof._asof_merge rule)
@@ -1333,20 +1342,27 @@ def _exact_partials_cogrouped(
         F.col("bucket").cast(post_kern.schema["bucket"].dataType)
         .alias("__pb_bucket"), "query_id", "__q")
 
-    def score(left: "pd.DataFrame", right: "pd.DataFrame"):
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame({
-                "query_id": [], id_col: [], "_dot": [], "_na": [],
-                "_nb": [],
-            }).astype({c: np.int64 for c in ("_dot", "_na", "_nb")})
-        vids_raw = left[id_col].values
+    def score(left: "pa.Table", right: "pa.Table") -> "pa.Table":
+        if left.num_rows == 0 or right.num_rows == 0:
+            return arrow_out.empty_table()
+        vids_raw = left.column(id_col).to_numpy(zero_copy_only=False)
         order = np.argsort(vids_raw, kind="stable")  # id ASC tiebreak
         vids = vids_raw[order]
-        PV = np.stack(left["__pv"].values)[order].astype(np.int64)
-        Xq = np.stack(right["__q"].values).astype(np.int64)
-        qids = right["query_id"].values
+        PV = list_to_matrix(left.column("__pv"), np.int64)[order]
+        Xq = list_to_matrix(right.column("__q"), np.int64)
+        qids = right.column("query_id").to_numpy(zero_copy_only=False)
         nq, n = len(Xq), len(vids)
-        dots = Xq @ PV.T                                 # (nq, n) int64
+        dim = PV.shape[1] if PV.ndim == 2 else 0
+        ma = int(np.abs(Xq).max()) if Xq.size else 0
+        mb = int(np.abs(PV).max()) if PV.size else 0
+        if ma * mb * max(dim, 1) < 2**53:
+            # every product and partial sum < 2^53: float64 BLAS is
+            # exact and ~an order of magnitude over the int64 loop
+            dots = np.rint(
+                Xq.astype(np.float64) @ PV.astype(np.float64).T
+            ).astype(np.int64)                           # (nq, n)
+        else:
+            dots = Xq @ PV.T                             # (nq, n) int64
         na = (PV * PV).sum(1)                            # (n,)
         nb = (Xq * Xq).sum(1)                            # (nq,)
         cos = dots.astype(np.float64) / (
@@ -1358,16 +1374,17 @@ def _exact_partials_cogrouped(
         out_q = np.repeat(qids, r)
         out_v = vids[sel.reshape(-1)]
         keep = out_q != out_v
-        return pd.DataFrame({
-            "query_id": out_q[keep], id_col: out_v[keep],
-            "_dot": np.take_along_axis(dots, sel, 1).reshape(-1)[keep],
-            "_na": na[sel].reshape(-1)[keep],
-            "_nb": np.repeat(nb, r)[keep],
-        })
+        return pa.Table.from_arrays([
+            pa.array(out_q[keep]),
+            pa.array(out_v[keep]),
+            pa.array(np.take_along_axis(dots, sel, 1).reshape(-1)[keep]),
+            pa.array(na[sel].reshape(-1)[keep]),
+            pa.array(np.repeat(nb, r)[keep]),
+        ], schema=arrow_out)
 
     return post_kern.groupby("bucket").cogroup(
         probe_q.groupby("__pb_bucket")
-    ).applyInPandas(score, schema=out_schema)
+    ).applyInArrow(score, schema=out_schema)
 
 
 def probe_pruned_topk(
@@ -1430,8 +1447,12 @@ def probe_pruned_topk(
             post_kern, probes_resolved, q_quant, k, id_col)
         if replicated:
             # replica copies of a row score identically: one candidate
-            # per (query, vector) (the reference's visited set, P5)
-            partial = partial.dropDuplicates(["query_id", id_col])
+            # per (query, vector) (the reference's visited set, P5).
+            # Repartition on query_id FIRST: that partitioning satisfies
+            # the dedup's (query_id, id) clustering AND the window's —
+            # one exchange instead of the planner's two
+            partial = partial.repartition("query_id") \
+                .dropDuplicates(["query_id", id_col])
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col(id_col).asc()
         )
