@@ -14,6 +14,25 @@ from __future__ import annotations
 import numpy as np
 
 
+def exact_int_matmul(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """A @ B for integer matrices, bit-exact, BLAS-fast when provable.
+
+    numpy's int64 matmul is a naive C triple loop (no BLAS). When
+    max|A| * max|B| * inner_dim < 2^53 every product AND every partial
+    sum is exactly representable in float64, so dgemm + rint is the
+    SAME int64 result an order of magnitude faster — the quantized
+    vectors this repo scores (|x| ~ round(float*1000)) always qualify;
+    the int64 path remains as the overflow-proof fallback."""
+    inner = A.shape[-1] if A.ndim >= 1 else 0
+    ma = int(np.abs(A).max()) if A.size else 0
+    mb = int(np.abs(B).max()) if B.size else 0
+    if ma * mb * max(inner, 1) < 2**53:
+        return np.rint(
+            A.astype(np.float64) @ B.astype(np.float64)
+        ).astype(np.int64)
+    return A @ B
+
+
 def list_to_matrix(col, dtype) -> np.ndarray:
     """pyarrow List/LargeList array of fixed-dim numeric vectors ->
     (n, dim) numpy matrix of `dtype`.

@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
+from sptag_spark.functions.vecarrow import exact_int_matmul
 from sptag_spark.operators.knn import _with_quantized
 
 
@@ -109,7 +110,7 @@ def build_knn_graph(
         both = pdf[pdf["_side"] == "B"]
         if len(both):
             ids, X, nrm = mats(both)
-            cos = (X @ X.T) / (nrm[:, None] * nrm[None, :])
+            cos = exact_int_matmul(X, X.T) / (nrm[:, None] * nrm[None, :])
             np.fill_diagonal(cos, -np.inf)  # no self edges
             return emit(ids, cos, ids)
         left = pdf[pdf["_side"] == "L"]
@@ -118,7 +119,7 @@ def build_knn_graph(
             return pd.DataFrame({"src": [], "dst": [], "cosine": []})
         ids_l, X_l, n_l = mats(left)
         ids_r, X_r, n_r = mats(right)
-        cos = (X_l @ X_r.T) / (n_l[:, None] * n_r[None, :])
+        cos = exact_int_matmul(X_l, X_r.T) / (n_l[:, None] * n_r[None, :])
         return pd.concat([
             emit(ids_l, cos, ids_r),
             emit(ids_r, cos.T.copy(), ids_l),

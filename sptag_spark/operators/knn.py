@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sptag_spark.functions.vecarrow import list_to_matrix
+from sptag_spark.functions.vecarrow import exact_int_matmul, list_to_matrix
 
 
 def quantize(v: Column) -> Column:
@@ -354,7 +354,7 @@ def cosine_near_dup_pairs_blocked(
         rows_a, rows_b = [], []
         if len(both):  # diagonal block: upper triangle of one matmul
             ids, X, nrm = mats(both)
-            dots = X @ X.T
+            dots = exact_int_matmul(X, X.T)
             cos = dots / (nrm[:, None] * nrm[None, :])
             ia, ib = np.where(cos >= thr)
             keep = ids[ia] < ids[ib]
@@ -368,7 +368,7 @@ def cosine_near_dup_pairs_blocked(
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         ids_l, X_l, n_l = mats(left)
         ids_r, X_r, n_r = mats(right)
-        cos = (X_l @ X_r.T) / (n_l[:, None] * n_r[None, :])
+        cos = exact_int_matmul(X_l, X_r.T) / (n_l[:, None] * n_r[None, :])
         ia, ib = np.where(cos >= thr)
         a_ids, b_ids = ids_l[ia], ids_r[ib]
         lo = np.minimum(a_ids, b_ids)
@@ -442,7 +442,7 @@ def _nearest_centroid_kernel(cent_ids, cent_mat, cent_norms, nprobe: int):
     def top(X: "np.ndarray"):
         # X: (n, dim) int64 quantized vectors -> (n, nprobe) centroid ids
         norms = np.sqrt((X * X).sum(axis=1).astype(np.float64))
-        dots = X @ cent_mat.T                               # exact int64
+        dots = exact_int_matmul(X, cent_mat.T)              # exact int64
         cos = dots / (norms[:, None] * cent_norms[None, :])
         if nprobe == 1:
             # first-max == lowest centroid id on ties (ids ascending)
@@ -476,14 +476,14 @@ def _replica_assign_kernel(cent_ids, cent_mat, cent_norms,
     ids = np.asarray(cent_ids)
     # bit-identical to the scoring path: exact int64 dots, sqrt-double
     # norms, IEEE divide — so the DuckDB oracle replicates occlusion
-    cent_cos = (cent_mat @ cent_mat.T) / (
+    cent_cos = exact_int_matmul(cent_mat, cent_mat.T) / (
         cent_norms[:, None] * cent_norms[None, :]
     )
 
     def assign(X: "np.ndarray"):
         n = len(X)
         norms = np.sqrt((X * X).sum(axis=1).astype(np.float64))
-        dots = X @ cent_mat.T                               # exact int64
+        dots = exact_int_matmul(X, cent_mat.T)              # exact int64
         cos = dots / (norms[:, None] * cent_norms[None, :])
         order = np.argsort(-cos, axis=1, kind="stable")[:, :R]  # (n, R)
         cosc = np.take_along_axis(cos, order, axis=1)
@@ -642,7 +642,7 @@ def _probe_buckets(
                 continue
             vsq = (X * X).sum(axis=1)                       # |v|² int64
             norms = np.sqrt(vsq.astype(np.float64))
-            dots = X @ cent_mat.T
+            dots = exact_int_matmul(X, cent_mat.T)
             cos = dots / (norms[:, None] * cent_norms[None, :])
             order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
             d2 = (vsq[:, None] + cent_sq[order]
@@ -1108,7 +1108,7 @@ def ivf_split(
             heads = X[[h0, h1]]
             hnorm = np.sqrt((heads * heads).sum(1).astype(np.float64))
             vnorm = np.sqrt((X * X).sum(1).astype(np.float64))
-            cos = (X @ heads.T) / (vnorm[:, None] * hnorm[None, :])
+            cos = exact_int_matmul(X, heads.T) / (vnorm[:, None] * hnorm[None, :])
             side = (cos[:, 1] > cos[:, 0]).astype(np.int32)
             side[h0], side[h1] = 0, 1
             out = pdf.drop(columns=["__q"])
@@ -1352,17 +1352,7 @@ def _exact_partials_cogrouped(
         Xq = list_to_matrix(right.column("__q"), np.int64)
         qids = right.column("query_id").to_numpy(zero_copy_only=False)
         nq, n = len(Xq), len(vids)
-        dim = PV.shape[1] if PV.ndim == 2 else 0
-        ma = int(np.abs(Xq).max()) if Xq.size else 0
-        mb = int(np.abs(PV).max()) if PV.size else 0
-        if ma * mb * max(dim, 1) < 2**53:
-            # every product and partial sum < 2^53: float64 BLAS is
-            # exact and ~an order of magnitude over the int64 loop
-            dots = np.rint(
-                Xq.astype(np.float64) @ PV.astype(np.float64).T
-            ).astype(np.int64)                           # (nq, n)
-        else:
-            dots = Xq @ PV.T                             # (nq, n) int64
+        dots = exact_int_matmul(Xq, PV.T)                # (nq, n) int64
         na = (PV * PV).sum(1)                            # (n,)
         nb = (Xq * Xq).sum(1)                            # (nq,)
         cos = dots.astype(np.float64) / (
