@@ -14,6 +14,26 @@ from __future__ import annotations
 import numpy as np
 
 
+def np_quantize(X: np.ndarray) -> np.ndarray:
+    """Exact numpy twin of knn.quantize (JVM round(x*1000D) -> long,
+    HALF_UP): lets kernels ingest RAW float vectors — half the shuffle
+    bytes of a pre-quantized int64 column and no per-row JVM array
+    allocation (CLAUDE.md rule 13) — while staying bit-identical to the
+    expression path.
+
+    np.rint is HALF_EVEN; exact-tie rows (y - floor(y) == 0.5, an exact
+    float predicate) are overridden to away-from-zero, which is
+    precisely BigDecimal HALF_UP on the same double. The multiply
+    itself is the same IEEE double product the JVM computes."""
+    Y = np.asarray(X, dtype=np.float64) * 1000.0
+    out = np.rint(Y)
+    fl = np.floor(Y)
+    tie = (Y - fl) == 0.5
+    if tie.any():
+        out = np.where(tie, np.where(Y > 0, fl + 1.0, fl), out)
+    return out.astype(np.int64)
+
+
 def exact_int_matmul(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """A @ B for integer matrices, bit-exact, BLAS-fast when provable.
 

@@ -45,7 +45,7 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-from sptag_spark.functions.vecarrow import list_to_matrix
+from sptag_spark.functions.vecarrow import list_to_matrix, np_quantize
 from sptag_spark.operators.knn import (
     _collect_centroids,
     _write_postings,
@@ -358,10 +358,11 @@ def _adc_tables_frame(
 def _adc_partials_cogrouped(
     post_codes: DataFrame,
     probes: DataFrame,
-    q_quant: DataFrame,
+    q_raw: DataFrame,
     books: np.ndarray,
     rerank: int,
     id_col: str,
+    R: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Per-BUCKET ADC scoring with per-query partial top-`rerank` AND
     fused exact re-rank inputs — the reference's ProcessPosting shape
@@ -383,9 +384,16 @@ def _adc_partials_cogrouped(
     contention — CLAUDE.md rules 10/13); here the pair blowup exists
     only as a numpy matrix inside Arrow workers.
 
-    post_codes must carry `__pv` (JVM-quantized ORIGINAL-space vector);
-    q_quant must carry `__q` (index-space, i.e. rotated for OPQ) and
-    `__qo` (original-space) quantized query columns.
+    Both sides ship RAW floats: post_codes carries `__pe` (the stored
+    embedding, untouched) and q_raw carries `__qe` (the original query
+    vector) — half the shuffle bytes of pre-quantized int64 columns and
+    zero per-row JVM array allocation (no quantize HOF on the scan;
+    CLAUDE.md rule 13). The kernel quantizes with vecarrow.np_quantize
+    (bit-identical HALF_UP twin of the JVM expression) and, for rotated
+    (OPQ) indexes, applies `R` itself — the same float64 matmul
+    opq_rotate_col runs, so head space stays bit-identical. `_nb` (the
+    per-QUERY norm) is not emitted per candidate row; the caller joins
+    it back from a tiny broadcast frame.
 
     Arrow-native (applyInArrow + vecarrow zero-copy ingestion): the
     pandas form boxed every posting row's codes/__pv into per-row
@@ -406,7 +414,6 @@ def _adc_partials_cogrouped(
         StructField("_adc", LongType()),
         StructField("_dot", LongType()),
         StructField("_na", LongType()),
-        StructField("_nb", LongType()),
     ])
     arrow_out = to_arrow_schema(out_schema)
     # cogroup sides must not share data-column names (Spark 4 prunes
@@ -414,9 +421,9 @@ def _adc_partials_cogrouped(
     # grouping keys MUST share a dtype: the postings' partition column
     # is directory-inferred (int), the probe frame carries centroid_id
     # (long) — misaligned key types silently fail to cogroup
-    probe_q = probes.join(q_quant, "query_id").select(
+    probe_q = probes.join(q_raw, "query_id").select(
         F.col("bucket").cast(post_codes.schema["bucket"].dataType)
-        .alias("__pb_bucket"), "query_id", "__q", "__qo")
+        .alias("__pb_bucket"), "query_id", "__qe")
 
     def score(left: "pa.Table", right: "pa.Table") -> "pa.Table":
         if left.num_rows == 0 or right.num_rows == 0:
@@ -425,9 +432,11 @@ def _adc_partials_cogrouped(
         order = np.argsort(vids_raw, kind="stable")  # id ASC tiebreak
         vids = vids_raw[order]
         codes = list_to_matrix(left.column("codes"), np.int64)[order]
-        PV = list_to_matrix(left.column("__pv"), np.int64)[order]
-        Xq = list_to_matrix(right.column("__q"), np.int64)
-        Xqo = list_to_matrix(right.column("__qo"), np.int64)
+        PV = np_quantize(
+            list_to_matrix(left.column("__pe"), np.float64))[order]
+        Xe = list_to_matrix(right.column("__qe"), np.float64)
+        Xqo = np_quantize(Xe)
+        Xq = np_quantize(Xe @ R) if R is not None else Xqo
         qids = right.column("query_id").to_numpy(zero_copy_only=False)
         nq, n = len(Xq), len(vids)
         T = np.stack([
@@ -460,7 +469,6 @@ def _adc_partials_cogrouped(
         G = PV[sel]                                      # (nq, r, dim)
         dots = (G * Xqo[:, None, :]).sum(-1)             # (nq, r)
         na = (PV * PV).sum(1)[sel]                       # (nq, r)
-        nb = (Xqo * Xqo).sum(1)                          # (nq,)
         out_q = np.repeat(qids, r)
         out_v = vids[sel.reshape(-1)]
         keep = out_q != out_v                            # drop self pairs
@@ -471,7 +479,6 @@ def _adc_partials_cogrouped(
                      .reshape(-1)[keep].astype(np.int64)),
             pa.array(dots.reshape(-1)[keep]),
             pa.array(na.reshape(-1)[keep]),
-            pa.array(np.repeat(nb, r)[keep]),
         ], schema=arrow_out)
 
     return post_codes.groupby("bucket").cogroup(
@@ -548,17 +555,20 @@ def ivf_pq_probe(
         # top-rerank per (bucket, query) with fused exact-rerank dot/
         # norms — the candidate-pair blowup never becomes Spark rows
         # and the embedding column never leaves the kernel scan
-        # (see _adc_partials_cogrouped)
+        # (see _adc_partials_cogrouped). Both sides ship RAW floats;
+        # the kernel quantizes (and rotates, for OPQ) bit-identically
         post_kern = prune(
             post.select(id_col, "bucket", "codes",
-                        quantize(F.col(vec_col)).alias("__pv")))
-        q_quant = q_probe.select(
+                        F.col(vec_col).alias("__pe")))
+        q_raw = queries.select(
             F.col(id_col).alias("query_id"),
-            quantize(F.col(q_probe_vec)).alias("__q"),
-            quantize(F.col(vec_col)).alias("__qo"),
+            F.col(vec_col).alias("__qe"),
         )
+        rot = (_read_rotation(spark, path)
+               if read_index_meta(spark, path).get("rotated") else None)
         partial = _adc_partials_cogrouped(
-            post_kern, probes_local, q_quant, books, rerank, id_col)
+            post_kern, probes_local, q_raw, books, rerank, id_col,
+            R=rot)
         if replicated:
             # replica copies carry identical codes => identical _adc:
             # one candidate per (query, vector). Repartitioning on
@@ -566,14 +576,21 @@ def ivf_pq_probe(
             # share one exchange (subset-clustering satisfaction)
             partial = partial.repartition("query_id") \
                 .dropDuplicates(["query_id", id_col])
-        from sptag_spark.operators.knn import cosine_from_quantized
+        from sptag_spark.operators.knn import cosine_from_quantized, idot
 
+        # per-QUERY norm joined back from a tiny broadcast frame (the
+        # kernel no longer ships it on every candidate row)
+        nbf = F.broadcast(queries.select(
+            F.col(id_col).alias("query_id"),
+            idot(quantize(F.col(vec_col)),
+                 quantize(F.col(vec_col))).alias("_nb")))
         wk = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col(id_col).asc()
         )
         return (
             partial.withColumn("_arn", F.row_number().over(w))
             .filter(F.col("_arn") <= rerank)
+            .join(nbf, "query_id")
             .withColumn("cosine", cosine_from_quantized(
                 F.col("_dot"), F.col("_na"), F.col("_nb")))
             .withColumn("rank", F.row_number().over(wk))

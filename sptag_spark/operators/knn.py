@@ -28,7 +28,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sptag_spark.functions.vecarrow import exact_int_matmul, list_to_matrix
+from sptag_spark.functions.vecarrow import (
+    exact_int_matmul,
+    list_to_matrix,
+    np_quantize,
+)
 
 
 def quantize(v: Column) -> Column:
@@ -1294,7 +1298,7 @@ def replica_histogram(spark, path: str, id_col: str = "vec_id") -> DataFrame:
 def _exact_partials_cogrouped(
     post_kern: DataFrame,
     probes: DataFrame,
-    q_quant: DataFrame,
+    q_raw: DataFrame,
     k: int,
     id_col: str,
 ) -> DataFrame:
@@ -1307,14 +1311,19 @@ def _exact_partials_cogrouped(
     exact (cosine DESC, id ASC) partial order. Downstream shuffles
     carry only ~Q x nprobe x k rows instead of Q x nprobe x |posting|
     candidate rows through interpreted HOF scoring (CLAUDE.md rules
-    10/13). Emits (query_id, id, _dot, _na, _nb); the caller
+    10/13). Emits (query_id, id, _dot, _na); the caller
     recomputes cosine with the shared JVM expression so global
     ordering is bit-identical to the driver path.
 
-    post_kern carries `__pv` (JVM-quantized vector); q_quant carries
-    `__q` (same quantization). Zero-norm vectors (NaN cosine) sort
-    last here but first under Spark's NaN-greatest DESC — as with the
-    expression path, zero vectors are out of contract.
+    Both sides ship RAW floats (`__pe` postings, `__qe` queries); the
+    kernel quantizes with vecarrow.np_quantize — the bit-identical
+    HALF_UP twin of the JVM expression — for half the shuffle bytes
+    and no per-row JVM array allocation (CLAUDE.md rule 13). `_nb`
+    (per-QUERY norm) is joined back by the caller from a broadcast
+    frame instead of riding every candidate row. Zero-norm vectors
+    (NaN cosine) sort last here but first under Spark's NaN-greatest
+    DESC — as with the expression path, zero vectors are out of
+    contract.
 
     Arrow-native (applyInArrow + vecarrow zero-copy ingestion, like
     ivfpq._adc_partials_cogrouped); the dot-product matmul runs as
@@ -1332,15 +1341,14 @@ def _exact_partials_cogrouped(
         StructField(id_col, post_kern.schema[id_col].dataType),
         StructField("_dot", LongType()),
         StructField("_na", LongType()),
-        StructField("_nb", LongType()),
     ])
     arrow_out = to_arrow_schema(out_schema)
     # key dtypes must match across cogroup sides (partition column is
     # directory-inferred int, centroid_id is long); data-column names
     # must not collide (asof._asof_merge rule)
-    probe_q = probes.join(q_quant, "query_id").select(
+    probe_q = probes.join(q_raw, "query_id").select(
         F.col("bucket").cast(post_kern.schema["bucket"].dataType)
-        .alias("__pb_bucket"), "query_id", "__q")
+        .alias("__pb_bucket"), "query_id", "__qe")
 
     def score(left: "pa.Table", right: "pa.Table") -> "pa.Table":
         if left.num_rows == 0 or right.num_rows == 0:
@@ -1348,8 +1356,9 @@ def _exact_partials_cogrouped(
         vids_raw = left.column(id_col).to_numpy(zero_copy_only=False)
         order = np.argsort(vids_raw, kind="stable")  # id ASC tiebreak
         vids = vids_raw[order]
-        PV = list_to_matrix(left.column("__pv"), np.int64)[order]
-        Xq = list_to_matrix(right.column("__q"), np.int64)
+        PV = np_quantize(
+            list_to_matrix(left.column("__pe"), np.float64))[order]
+        Xq = np_quantize(list_to_matrix(right.column("__qe"), np.float64))
         qids = right.column("query_id").to_numpy(zero_copy_only=False)
         nq, n = len(Xq), len(vids)
         dots = exact_int_matmul(Xq, PV.T)                # (nq, n) int64
@@ -1369,7 +1378,6 @@ def _exact_partials_cogrouped(
             pa.array(out_v[keep]),
             pa.array(np.take_along_axis(dots, sel, 1).reshape(-1)[keep]),
             pa.array(na[sel].reshape(-1)[keep]),
-            pa.array(np.repeat(nb, r)[keep]),
         ], schema=arrow_out)
 
     return post_kern.groupby("bucket").cogroup(
@@ -1428,13 +1436,13 @@ def probe_pruned_topk(
         # top-k — the candidate-pair blowup never becomes Spark rows
         # (see _exact_partials_cogrouped)
         post_kern = prune(postings.select(
-            id_col, "bucket", quantize(F.col(vec_col)).alias("__pv")))
-        q_quant = queries.select(
+            id_col, "bucket", F.col(vec_col).alias("__pe")))
+        q_raw = queries.select(
             F.col(id_col).alias("query_id"),
-            quantize(F.col(vec_col)).alias("__q"),
+            F.col(vec_col).alias("__qe"),
         )
         partial = _exact_partials_cogrouped(
-            post_kern, probes_resolved, q_quant, k, id_col)
+            post_kern, probes_resolved, q_raw, k, id_col)
         if replicated:
             # replica copies of a row score identically: one candidate
             # per (query, vector) (the reference's visited set, P5).
@@ -1446,8 +1454,15 @@ def probe_pruned_topk(
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col(id_col).asc()
         )
+        # per-QUERY norm from a tiny broadcast frame (not shipped on
+        # every candidate row)
+        nbf = F.broadcast(queries.select(
+            F.col(id_col).alias("query_id"),
+            idot(quantize(F.col(vec_col)),
+                 quantize(F.col(vec_col))).alias("_nb")))
         return (
-            partial.withColumn("cosine", cosine_from_quantized(
+            partial.join(nbf, "query_id")
+            .withColumn("cosine", cosine_from_quantized(
                 F.col("_dot"), F.col("_na"), F.col("_nb")))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -194,3 +194,37 @@ def test_list_to_matrix_element_nulls_keep_loud_contract():
         list_to_matrix(arr, np.int64)
     got = list_to_matrix(arr, np.float64)
     assert np.isnan(got[0, 1]) and got[1, 2] == 5.0
+
+
+def test_np_quantize_matches_jvm_quantize(spark):
+    """vecarrow.np_quantize must be BIT-identical to the JVM
+    knn.quantize expression (round(x*1000D) HALF_UP) — kernels that
+    ingest raw floats and quantize in numpy depend on it. Covers the
+    HALF_UP/HALF_EVEN divergence: odd multiples of 0.0625 make
+    x*1000 an exact k.5 tie (np.rint alone would round half of them
+    the other way)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sptag_spark.functions.vecarrow import np_quantize
+    from sptag_spark.operators.knn import quantize
+
+    rng = np.random.default_rng(7)
+    ties = np.array([a * 0.0625 for a in
+                     (-7, -5, -3, -1, 1, 3, 5, 7, 9, 1001)], np.float32)
+    vals = np.concatenate([
+        ties,
+        rng.standard_normal(500).astype(np.float32),
+        (rng.standard_normal(100) * 1e4).astype(np.float32),
+        np.array([0.0, -0.0, 0.0005, -0.0005], np.float32),
+    ])
+    assert ((ties.astype(np.float64) * 1000.0) % 1 == 0.5).all()
+    df = spark.createDataFrame(
+        [(i, [float(v)]) for i, v in enumerate(vals)], "i long, v array<float>"
+    )
+    jvm = {r["i"]: r["q"][0] for r in
+           df.select("i", quantize(F.col("v")).alias("q")).collect()}
+    got = np_quantize(vals.reshape(-1, 1)).reshape(-1)
+    for i, v in enumerate(vals):
+        assert got[i] == jvm[i], (i, float(v), got[i], jvm[i])
