@@ -236,3 +236,14 @@ def test_spark_submit_ann_index_lifecycle(tmp_path):
                 "--queries", qs, "--out", out3, "--k", "5",
                 "--nprobe", "8", "--rerank", "32")
     assert m["results"] == 30
+    # merge-on-underflow: with the limit above every post-split posting
+    # size, all heads but the largest retire (deterministic), rows fold
+    # into the survivor losslessly, and search keeps working
+    m = _submit(zpath, "ann_index.py", "merge", "--index", idx,
+                "--min-posting-size", "26")
+    assert m["merged"] > 0 and m["rows"] == n_live and m["heads"] >= 1
+    out4 = os.path.join(tmp, "r4")
+    m = _submit(zpath, "ann_index.py", "search", "--index", idx,
+                "--queries", qs, "--out", out4, "--k", "5",
+                "--nprobe", "8", "--rerank", "32")
+    assert m["results"] == 30
