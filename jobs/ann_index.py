@@ -89,6 +89,7 @@ def main(argv: list[str] | None = None) -> int:
     from sptag_spark.operators import knn
 
     spark = SparkSession.builder.appName(f"ann_index_{args.cmd}") \
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true") \
         .getOrCreate()
     t0 = time.time()
     metrics: dict = {"job": f"ann_index_{args.cmd}", "index": args.index}

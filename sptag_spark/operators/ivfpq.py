@@ -224,13 +224,26 @@ def ivf_pq_build(
                       rotated=R is not None)
     import pandas as pd
 
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, LongType, StructField, StructType,
+    )
+
+    # list cells + explicit schema: the ndarray-cell form only converts
+    # under the Arrow createDataFrame path — a spark-submit session
+    # without the Arrow conf falls back to row inference, which cannot
+    # type ndarray (the CLI hit exactly that)
     books_pdf = pd.DataFrame({
         "s": np.repeat(np.arange(m, dtype=np.int32), k_codes),
         "j": np.tile(np.arange(k_codes, dtype=np.int32), m),
-        "cw": [codebooks[s, j].astype(np.int64)
+        "cw": [codebooks[s, j].astype(np.int64).tolist()
                for s in range(m) for j in range(k_codes)],
     })
-    spark.createDataFrame(books_pdf).coalesce(1) \
+    books_schema = StructType([
+        StructField("s", IntegerType()),
+        StructField("j", IntegerType()),
+        StructField("cw", ArrayType(LongType())),
+    ])
+    spark.createDataFrame(books_pdf, schema=books_schema).coalesce(1) \
         .write.mode("overwrite").parquet(f"{path}/codebooks")
 
 
@@ -279,10 +292,22 @@ def ivf_pq_append(
 def _write_rotation(spark, path: str, R: np.ndarray) -> None:
     import pandas as pd
 
-    spark.createDataFrame(pd.DataFrame({
-        "i": np.arange(len(R), dtype=np.int32),
-        "row": [R[i] for i in range(len(R))],
-    })).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    # list cells + explicit schema (see codebooks write: ndarray cells
+    # fail non-Arrow row inference under a bare spark-submit session)
+    spark.createDataFrame(
+        pd.DataFrame({
+            "i": np.arange(len(R), dtype=np.int32),
+            "row": [R[i].tolist() for i in range(len(R))],
+        }),
+        schema=StructType([
+            StructField("i", IntegerType()),
+            StructField("row", ArrayType(DoubleType())),
+        ]),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/rotation")
 
 
 def _read_rotation(spark, path: str) -> np.ndarray:
@@ -449,31 +474,46 @@ def _adc_partials_cogrouped(
         # (nq, n) gather+add is the bandwidth-bound hot loop
         dt = np.int32 if tmax * m < 2**31 - 1 else np.int64
         Tg = T.astype(dt, copy=False)
-        adc = np.empty((nq, n), dtype=dt)
-        # cache-blocked over posting columns: the accumulator chunk
-        # (~1.5 MB) stays L2/L3-resident across all m gather passes, so
-        # DRAM sees ~one write of adc instead of m read+write sweeps —
-        # measured 3.8x faster at 2 procs and 0.39->0.65 process-scaling
-        # on this kernel (the plain loop saturates host DRAM at 2 cores)
-        B = max(128, min(4096, 375_000 // max(nq, 1)))
-        for j0 in range(0, n, B):
-            j1 = min(j0 + B, n)
-            acc = Tg[0][:, codes[j0:j1, 0]]     # fancy-index: a copy
-            for s in range(1, m):
-                acc += Tg[s][:, codes[j0:j1, s]]
-            adc[:, j0:j1] = acc
-        adc[qids[:, None] == vids[None, :]] = np.iinfo(dt).max
         r = min(rerank, n)
         shift = max(int(n - 1).bit_length(), 1)
-        if tmax * m < 2 ** (62 - shift):
-            # exact O(n) top-r: composite (adc, id_rank) keys are
-            # distinct, argpartition's first r ARE the (adc ASC, id
-            # ASC) winners (self rows carry iinfo.max -> sort last)
-            comb = ((adc.astype(np.int64) << shift)
-                    | np.arange(n, dtype=np.int64)[None, :])
-            sel = np.argpartition(comb, r - 1, axis=1)[:, :r]
-        else:  # pathological magnitude: keep the stable full sort
-            sel = np.argsort(adc, axis=1, kind="stable")[:, :r]
+        exact_part = tmax * m + 1 < 2 ** (62 - shift)
+        idx = np.arange(n, dtype=np.int64)[None, :]
+        # cache-blocked over QUERY chunks: the chunk's accumulator,
+        # composite keys, and argpartition working set (~chunk×12 B)
+        # stay L2/L3-resident, and only the top-r survivors leave the
+        # chunk — DRAM sees the codes matrix and tables, not three
+        # full-(nq,n)-matrix sweeps. The previous column-blocked form
+        # kept only the accumulator resident and still streamed the
+        # full adc + int64 composite: 0.45 process-scaling at 8 procs
+        # vs 0.85 for this shape (measured with the rule-18
+        # multiprocessing harness at campaign task sizes; 1.9× absolute
+        # at 8 procs, parity at 2).
+        QB = max(16, min(nq, 375_000 // max(n, 1)))
+        sel = np.empty((nq, r), dtype=np.int64)
+        adc_sel = np.empty((nq, r), dtype=np.int64)
+        # self-row sentinel: one past the largest possible real score,
+        # NOT iinfo(dt).max — the composite key shifts adc left, and
+        # (2^63-1) << shift wraps negative in int64, which would sort
+        # self rows FIRST and displace a real candidate; tmax*m+1 fits
+        # dt by construction (int32 only when tmax*m < 2^31-1) and
+        # shifts safely under the same bound that admits the branch
+        sentinel = dt(tmax * m + 1)
+        for q0 in range(0, nq, QB):
+            q1 = min(q0 + QB, nq)
+            acc = Tg[0][q0:q1][:, codes[:, 0]]  # fancy-index: a copy
+            for s in range(1, m):
+                acc += Tg[s][q0:q1][:, codes[:, s]]
+            acc[qids[q0:q1, None] == vids[None, :]] = sentinel
+            if exact_part:
+                # exact O(n) top-r: composite (adc, id_rank) keys are
+                # distinct, argpartition's first r ARE the (adc ASC,
+                # id ASC) winners (self rows sort last)
+                comb = (acc.astype(np.int64) << shift) | idx
+                s_blk = np.argpartition(comb, r - 1, axis=1)[:, :r]
+            else:  # pathological magnitude: stable full sort
+                s_blk = np.argsort(acc, axis=1, kind="stable")[:, :r]
+            sel[q0:q1] = s_blk
+            adc_sel[q0:q1] = np.take_along_axis(acc, s_blk, 1)
         # exact int64 dot/norms for ONLY the surviving pairs (original
         # space, identical to the JVM idot math)
         G = PV[sel]                                      # (nq, r, dim)
@@ -485,8 +525,7 @@ def _adc_partials_cogrouped(
         return pa.Table.from_arrays([
             pa.array(out_q[keep]),
             pa.array(out_v[keep]),
-            pa.array(np.take_along_axis(adc, sel, 1)
-                     .reshape(-1)[keep].astype(np.int64)),
+            pa.array(adc_sel.reshape(-1)[keep]),
             pa.array(dots.reshape(-1)[keep]),
             pa.array(na.reshape(-1)[keep]),
         ], schema=arrow_out)
@@ -536,11 +575,14 @@ def ivf_pq_probe(
     # the query side rotates once (Arrow matmul) for head selection and
     # tables; the exact re-rank below stays in the ORIGINAL space
     q_probe, q_probe_vec = queries, vec_col
-    if read_index_meta(spark, path).get("rotated"):
+    # meta + rotation read ONCE per probe call (each is a parquet
+    # read + driver collect) and reused below
+    rot = (_read_rotation(spark, path)
+           if read_index_meta(spark, path).get("rotated") else None)
+    if rot is not None:
         from sptag_spark.operators.pq import opq_rotate_col
 
-        q_probe = opq_rotate_col(queries, _read_rotation(spark, path),
-                                 vec_col, "__rot")
+        q_probe = opq_rotate_col(queries, rot, vec_col, "__rot")
         q_probe_vec = "__rot"
     probes = _probe_buckets(q_probe, centroids, nprobe, id_col,
                             q_probe_vec, max_dist_ratio=max_dist_ratio)
@@ -574,8 +616,6 @@ def ivf_pq_probe(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qe"),
         )
-        rot = (_read_rotation(spark, path)
-               if read_index_meta(spark, path).get("rotated") else None)
         partial = _adc_partials_cogrouped(
             post_kern, probes_local, q_raw, books, rerank, id_col,
             R=rot)
@@ -625,8 +665,11 @@ def ivf_pq_probe(
         )
         if replicated:
             # replica copies carry identical codes: one ADC score per
-            # (query, vector), not per surviving replica posting
+            # (query, vector), not per surviving replica posting.
+            # repartition first so the dedup and the rank window share
+            # ONE exchange (CLAUDE.md rule 17 — subset clustering)
             cand_pairs = cand_pairs.drop("bucket") \
+                .repartition("query_id") \
                 .dropDuplicates(["query_id", id_col])
         scored = (
             cand_pairs
@@ -639,18 +682,16 @@ def ivf_pq_probe(
             .select("query_id", id_col)
         )
 
-    # Exact re-rank: second pruned read, embeddings for ONLY the
-    # surviving candidates (broadcast semi-shape join on id for query
-    # batches; AQE-planned equi-joins for waves).
+    # Exact re-rank (driver mode only — the wave path returned above):
+    # second pruned read, embeddings for ONLY the surviving candidates,
+    # broadcast semi-shape join on id, queries broadcast.
     post_vec = pruned([id_col, "bucket", vec_col]).drop("bucket")
     if replicated:
         # each vector's embedding appears once per replica posting; the
         # re-rank join must see it once
         post_vec = post_vec.dropDuplicates([id_col])
-    qvec = queries.select(
+    qvec = F.broadcast(queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
-    )
-    if not big:
-        qvec = F.broadcast(qvec)
+    ))
     rr = post_vec.join(cand, id_col).join(qvec, "query_id")
     return _score_candidates(rr, k, id_col, vec_col)

@@ -476,7 +476,11 @@ def _replica_assign_kernel(cent_ids, cent_mat, cent_norms,
     Returns (row_indices, buckets, replica_rank) flattened arrays."""
     import numpy as np
 
-    R = replica_count
+    # a vector cannot replicate to more heads than exist — clamp, so a
+    # tiny head set (or one shrunk by ivf_merge below the persisted
+    # meta replica_count) degrades to fewer copies instead of an
+    # IndexError in the Arrow worker (order has min(n_cent, R) columns)
+    R = min(replica_count, len(cent_ids))
     ids = np.asarray(cent_ids)
     # bit-identical to the scoring path: exact int64 dots, sqrt-double
     # norms, IEEE divide — so the DuckDB oracle replicates occlusion
@@ -1060,7 +1064,15 @@ def ivf_split(
 
     n_splits = 0
     for _ in range(max_rounds):
-        post = spark.read.parquet(f"{path}/postings")
+        # size and split LIVE rows only (tombstones excluded, like
+        # ivf_merge's trigger): a delete-heavy bucket must not split on
+        # its dead weight — raw-count sizing could even elect a
+        # tombstoned row as a new head, and a bucket simultaneously
+        # over the raw split max and under the live merge min would
+        # make a split-then-merge maintenance loop thrash. Rewriting a
+        # split bucket from live rows also folds its tombstones in
+        # (compact semantics); the log stays for other partitions.
+        post = read_postings(spark, path, id_col)
         over = [
             r["bucket"] for r in post.groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -1136,8 +1148,14 @@ def ivf_split(
         labels = {(b, s): max_label + 1 + i
                   for i, (b, s, _, _) in enumerate(label_rows)}
         bucket_type = cents.schema["centroid_id"].dataType
+        # pandas→Arrow: the row-list createDataFrame is the slow
+        # non-Arrow local-relation path (see _write_index_meta), and
+        # this runs up to max_rounds times per split call
         label_df = spark.createDataFrame(
-            [(b, s, lab) for (b, s), lab in labels.items()],
+            pd.DataFrame(
+                [(b, s, lab) for (b, s), lab in labels.items()],
+                columns=["bucket", "__side", "__new_bucket"],
+            ),
             schema=StructType([
                 StructField("bucket", bucket_type),
                 StructField("__side", IntegerType()),
@@ -1153,7 +1171,10 @@ def ivf_split(
         _write_postings(rewritten, f"{path}/postings", "append")
         # 2) crash-safe centroid swap: retire split heads, add sub-heads
         new_heads = spark.createDataFrame(
-            [(labels[(b, s)], v) for (b, s, _, v) in label_rows],
+            pd.DataFrame(
+                [(labels[(b, s)], list(v)) for (b, s, _, v) in label_rows],
+                columns=[f.name for f in cents.schema.fields],
+            ),
             schema=cents.schema,
         )
         cents.filter(~F.col("centroid_id").isin(over)).unionByName(
@@ -1264,22 +1285,19 @@ def ivf_merge(
 
 
 def cleanup_probe_tables(path_or_scratch_dir: str) -> None:
-    """Delete join-mode probe side tables. Pass the index path (cleans
-    the default {path}/_probes; recognized by its postings dir) or the
-    explicit `probe_scratch_dir` a wave used (its contents are removed,
-    the dir itself kept). Library callers probing in a loop should call
-    this after materializing each wave's results instead of waiting for
-    compact."""
+    """Delete join-mode probe side tables. Pass the index path or the
+    explicit `probe_scratch_dir` a wave used — either way ONLY the
+    `_probes` child is removed (probe tables are always written under
+    it), so a scratch dir shared with other artifacts is never touched
+    beyond the tables this machinery wrote. Library callers probing in
+    a loop should call this after materializing each wave's results
+    instead of waiting for compact; concurrent waves that must not see
+    each other's cleanup should use distinct scratch dirs."""
     import os
     import shutil
 
-    d = path_or_scratch_dir
-    if os.path.isdir(os.path.join(d, "postings")):
-        shutil.rmtree(os.path.join(d, "_probes"), ignore_errors=True)
-        return
-    if os.path.isdir(d):
-        for child in os.listdir(d):
-            shutil.rmtree(os.path.join(d, child), ignore_errors=True)
+    shutil.rmtree(os.path.join(path_or_scratch_dir, "_probes"),
+                  ignore_errors=True)
 
 
 def replica_histogram(spark, path: str, id_col: str = "vec_id") -> DataFrame:
@@ -1361,22 +1379,34 @@ def _exact_partials_cogrouped(
         Xq = np_quantize(list_to_matrix(right.column("__qe"), np.float64))
         qids = right.column("query_id").to_numpy(zero_copy_only=False)
         nq, n = len(Xq), len(vids)
-        dots = exact_int_matmul(Xq, PV.T)                # (nq, n) int64
         na = (PV * PV).sum(1)                            # (n,)
         nb = (Xq * Xq).sum(1)                            # (nq,)
-        cos = dots.astype(np.float64) / (
-            np.sqrt(na.astype(np.float64))[None, :]
-            * np.sqrt(nb.astype(np.float64))[:, None])
-        cos[qids[:, None] == vids[None, :]] = -np.inf    # self: sort last
+        sqrt_na = np.sqrt(na.astype(np.float64))[None, :]
         r = min(k, n)
-        sel = np.argsort(-cos, axis=1, kind="stable")[:, :r]  # (nq, r)
+        # query-chunked so the chunk's dot/cos matrices and the argsort
+        # working set stay cache-resident (same restructure as
+        # ivfpq._adc_partials_cogrouped — the full-(nq,n) form streams
+        # three matrices through DRAM and flattens at 8 procs);
+        # per-query results are independent, so output is bit-identical
+        QB = max(16, min(nq, 250_000 // max(n, 1)))
+        sel = np.empty((nq, r), dtype=np.int64)
+        dots_sel = np.empty((nq, r), dtype=np.int64)
+        for q0 in range(0, nq, QB):
+            q1 = min(q0 + QB, nq)
+            dots_c = exact_int_matmul(Xq[q0:q1], PV.T)   # (qb, n) int64
+            cos = dots_c.astype(np.float64) / (
+                sqrt_na * np.sqrt(nb[q0:q1].astype(np.float64))[:, None])
+            cos[qids[q0:q1, None] == vids[None, :]] = -np.inf  # self last
+            s_blk = np.argsort(-cos, axis=1, kind="stable")[:, :r]
+            sel[q0:q1] = s_blk
+            dots_sel[q0:q1] = np.take_along_axis(dots_c, s_blk, 1)
         out_q = np.repeat(qids, r)
         out_v = vids[sel.reshape(-1)]
         keep = out_q != out_v
         return pa.Table.from_arrays([
             pa.array(out_q[keep]),
             pa.array(out_v[keep]),
-            pa.array(np.take_along_axis(dots, sel, 1).reshape(-1)[keep]),
+            pa.array(dots_sel.reshape(-1)[keep]),
             pa.array(na[sel].reshape(-1)[keep]),
         ], schema=arrow_out)
 
@@ -1479,8 +1509,11 @@ def probe_pruned_topk(
     if replicated:
         # replica copies of a row are identical except (bucket,
         # replica_rank): a query probing two of a vector's postings must
-        # score it once (the reference's visited/dedup set, P5 shape)
+        # score it once (the reference's visited/dedup set, P5 shape).
+        # repartition first: one exchange serves the dedup AND the
+        # _score_candidates rank window (CLAUDE.md rule 17)
         candidates = candidates.drop("bucket", "replica_rank") \
+            .repartition("query_id") \
             .dropDuplicates(["query_id", id_col])
     candidates = candidates.join(qvec, "query_id")
     return _score_candidates(candidates, k, id_col, vec_col)
@@ -1518,8 +1551,11 @@ def _resolve_probes(spark, path: str, probes: DataFrame,
     elif probe_mode == "join":
         import uuid
 
-        base = scratch_dir if scratch_dir is not None else f"{path}/_probes"
-        probe_tbl = f"{base}/{uuid.uuid4().hex}"
+        # always under a _probes/ child — cleanup_probe_tables removes
+        # exactly that child, so a user scratch dir's other contents
+        # are out of blast radius
+        base = scratch_dir if scratch_dir is not None else path
+        probe_tbl = f"{base}/_probes/{uuid.uuid4().hex}"
         probes.write.mode("overwrite").parquet(probe_tbl)
         probes_resolved = spark.read.parquet(probe_tbl)
         from pyspark.sql.types import NumericType
@@ -1603,7 +1639,9 @@ def ivf_topk(
         .filter(F.col(id_col) != F.col("query_id"))
     )
     if replica_count > 1:
+        # one exchange for dedup + rank window (CLAUDE.md rule 17)
         candidates = candidates.drop("bucket", "replica_rank") \
+            .repartition("query_id") \
             .dropDuplicates(["query_id", id_col])
     candidates = candidates.join(F.broadcast(qvec), "query_id")
     return _score_candidates(candidates, k, id_col, vec_col)
