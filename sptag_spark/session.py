@@ -39,6 +39,18 @@ _DEFAULTS = {
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.sql.shuffle.partitions": "32",
+    # glibc heap reuse for Python workers: numpy temporaries over the
+    # 128 KB mmap threshold are otherwise mmap'd and unmapped on EVERY
+    # kernel call, so each Arrow-cogroup group pays fresh page faults
+    # and fights khugepaged/kcompactd for huge pages — measured on the
+    # ADC wave kernel (2344-row x 312-query groups x 256 buckets,
+    # rule-18 multiprocessing harness, min-of-3): 8-proc kernel time
+    # 4.03 s -> 1.42 s and 2->8-proc scaling efficiency 0.42 -> 0.73
+    # just from keeping the temporaries in the (reused) heap. Workers
+    # are single-threaded (one arena) and every kernel cache-blocks
+    # its working set, so the retained high-water RSS is bounded.
+    "spark.executorEnv.MALLOC_MMAP_MAX_": "0",
+    "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": "-1",
 }
 
 
