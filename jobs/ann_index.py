@@ -8,6 +8,9 @@
     ... ann_index.py compact --index /data/idx [--max-posting-size N]
     ... ann_index.py split   --index /data/idx --max-posting-size N
     ... ann_index.py merge   --index /data/idx --min-posting-size N
+    ... ann_index.py ingest  --in /data/stream_dir --index /data/idx \
+        --checkpoint /data/ckpt [--max-posting-size N] \
+        [--max-files-per-trigger 1]
     ... ann_index.py search  --index /data/idx --queries /data/q.parquet \
         --out /data/results.parquet [--k 10] [--nprobe 8] [--rerank 64] \
         [--probe-mode auto|driver|join] [--max-dist-ratio R] \
@@ -18,7 +21,11 @@ RNG-pruned head postings (the reference's ReplicaCount closure);
 `split` evolves the head set by 2-means-splitting over-limit postings
 (lossless; `compact --max-posting-size` is the lossy distance-ordered
 cap); `merge` retires under-limit heads and folds their rows into the
-nearest surviving postings (the SPFresh merge-on-underflow).
+nearest surviving postings (the SPFresh merge-on-underflow); `ingest`
+drains a parquet-directory STREAM into the index via Structured
+Streaming (streaming.jobs.stream_ann_ingest — replay-safe appends, and
+with --max-posting-size the SPFresh update-while-search loop: postings
+stay bounded under sustained ingest, checkpointed exactly-once).
 
 The CLI surface of the reference's IndexBuilder + SSDServing mains
 (AnnService/src/IndexBuilder/main.cpp:1-150, SSDServing/main.cpp) over
@@ -68,6 +75,13 @@ def main(argv: list[str] | None = None) -> int:
     mg = sub.add_parser("merge")
     mg.add_argument("--index", required=True)
     mg.add_argument("--min-posting-size", type=int, required=True)
+
+    ig = sub.add_parser("ingest")
+    ig.add_argument("--in", dest="inp", required=True)
+    ig.add_argument("--index", required=True)
+    ig.add_argument("--checkpoint", required=True)
+    ig.add_argument("--max-posting-size", type=int, default=None)
+    ig.add_argument("--max-files-per-trigger", type=int, default=1)
 
     s = sub.add_parser("search")
     s.add_argument("--index", required=True)
@@ -147,6 +161,25 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.index, min_posting_size=args.min_posting_size)
         metrics["rows"] = spark.read.parquet(
             f"{args.index}/postings").count()
+        metrics["heads"] = spark.read.parquet(
+            f"{args.index}/centroids").count()
+    elif args.cmd == "ingest":
+        from sptag_spark.streaming.jobs import stream_ann_ingest
+
+        before = spark.read.parquet(f"{args.index}/postings").count()
+        schema = spark.read.parquet(args.inp).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", args.max_files_per_trigger)
+            .parquet(args.inp)
+        )
+        stream_ann_ingest(
+            stream, args.index, args.checkpoint,
+            max_posting_size=args.max_posting_size,
+        ).awaitTermination()
+        post = spark.read.parquet(f"{args.index}/postings")
+        metrics["rows"] = post.count()
+        metrics["ingested"] = metrics["rows"] - before
         metrics["heads"] = spark.read.parquet(
             f"{args.index}/centroids").count()
     elif args.cmd == "search":

@@ -253,13 +253,16 @@ def ivf_pq_append(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    idempotent: bool = False,
 ) -> None:
     """Append new vectors to a persisted composed index: assign AND
     PQ-encode against the EXISTING heads + codebooks (one zero-shuffle
     kernel pass) and append only the touched bucket partitions. Deletes
     and compaction come from the flat-index machinery (knn.ivf_delete /
     read_postings / ivf_compact — the postings layout is shared).
-    Replica fan-out follows the index meta. Raises when pointed at a
+    Replica fan-out follows the index meta. `idempotent` makes the
+    append replay-safe (knn.append_postings_rows — the streaming ingest
+    path's exactly-once guard). Raises when pointed at a
     FLAT ivf index (no `codes` in its postings): the appended codes
     column would be invisible to flat probes and the schemas would
     drift — use knn.ivf_append there."""
@@ -286,7 +289,9 @@ def ivf_pq_append(
                            replica_count=rep)
     if work_vec == "__rot":
         coded = coded.drop("__rot")
-    _write_postings(coded, f"{path}/postings", "append")
+    from sptag_spark.operators.knn import append_postings_rows
+
+    append_postings_rows(spark, path, coded, id_col, idempotent)
 
 
 def _write_rotation(spark, path: str, R: np.ndarray) -> None:

@@ -782,18 +782,64 @@ def _write_postings(bucketed: DataFrame, postings_path: str,
 # merge/reassign)
 # ---------------------------------------------------------------------------
 
+def append_postings_rows(spark, path: str, rows: DataFrame, id_col: str,
+                         idempotent: bool) -> None:
+    """Append assigned/encoded rows to `{path}/postings`. With
+    `idempotent=True` the incoming (id, bucket) pairs first anti-join
+    the rows already present in the TOUCHED bucket partitions (static
+    partition pruning via a driver-collected bucket IN-list — bounded by
+    batch_size x replica_count and by the head count, like the other
+    documented bounded collects), so a replayed micro-batch or a
+    partially committed append (FileOutputCommitter task-level commits
+    can land a subset of files before a job failure) appends only the
+    rows still missing — assignment against pinned heads is
+    deterministic, so a replay re-derives exactly the same pairs.
+
+    Scope: the guard is exact only while the HEAD SET is unchanged
+    between the original append and the replay. After a split/merge the
+    same vector re-assigns against the evolved centroid table and may
+    land on a different head than the one its row moved to, so the pair
+    anti-join would re-append it — the streaming ingest handler's
+    per-batch marker (streaming.jobs._ann_ingest_handler) exists
+    precisely to keep replays on the unchanged-head side of that line.
+    The guard checks RAW postings (not tombstone-filtered):
+    re-inserting a tombstoned id still requires a compact first, per the
+    ivf_delete contract."""
+    if not idempotent:
+        _write_postings(rows, f"{path}/postings", "append")
+        return
+    rows = rows.persist()
+    try:
+        touched = [r["bucket"]
+                   for r in rows.select("bucket").distinct().collect()]
+        if not touched:
+            return
+        existing_pairs = (
+            spark.read.parquet(f"{path}/postings")
+            .filter(F.col("bucket").isin(touched))
+            .select(id_col, "bucket")
+        )
+        fresh = rows.join(existing_pairs, [id_col, "bucket"], "anti")
+        _write_postings(fresh, f"{path}/postings", "append")
+    finally:
+        rows.unpersist()
+
+
 def ivf_append(
     spark,
     path: str,
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    idempotent: bool = False,
 ) -> None:
     """Append new vectors to a persisted index: assign against the
     EXISTING heads (zero-shuffle Arrow kernel) and append only the
     touched bucket partitions — the corpus already indexed is never
     rewritten or rescanned. Replica fan-out follows the index meta, so
-    appended vectors replicate exactly as the build did.
+    appended vectors replicate exactly as the build did. `idempotent`
+    makes the append replay-safe (see append_postings_rows) — the
+    streaming ingest path's exactly-once guard.
 
     Raises on a flat append into an ivf_pq index (its postings carry PQ
     codes; appending code-less rows would surface as NULL `codes` that
@@ -810,7 +856,7 @@ def ivf_append(
     centroids = spark.read.parquet(f"{path}/centroids")
     bucketed = assign_buckets(vectors, centroids, id_col, vec_col,
                               replica_count=rep)
-    _write_postings(bucketed, f"{path}/postings", "append")
+    append_postings_rows(spark, path, bucketed, id_col, idempotent)
 
 
 def ivf_delete(spark, path: str, keys: DataFrame,

@@ -354,6 +354,99 @@ def stream_asof_enrich(
     )
 
 
+def _ann_ingest_handler(index_path: str, id_col: str, vec_col: str,
+                        max_posting_size: int | None):
+    """foreachBatch handler for stream_ann_ingest; module-level so the
+    replay-idempotency property is directly testable (the same pattern
+    as _asof_enrich_handler).
+
+    Replay protocol (foreachBatch is at-least-once): a per-batch marker
+    file is written BETWEEN the append and the split, which makes every
+    crash window safe —
+    * crash during/after append, before marker: the replay re-runs the
+      append under an UNCHANGED centroid table (this batch's split has
+      not run, and availableNow replays batch N before starting N+1, so
+      no other split intervened) — there the (id, bucket) anti-join
+      guard (knn.append_postings_rows) is exact and appends only the
+      missing rows;
+    * crash after marker (before/during/after split): the replay skips
+      the append entirely — it can never re-assign the batch against a
+      post-split head set, which could otherwise duplicate an id into a
+      different bucket — and re-runs the split, which is restartable
+      (entry-time swap recovery) and a no-op once postings are within
+      the limit."""
+    import os as _os
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        marker = _os.path.join(index_path, "_ingest_commits",
+                               f"batch-{batch_id}")
+        if not _os.path.exists(marker):
+            postings = spark.read.parquet(f"{index_path}/postings")
+            if "codes" in postings.columns:
+                from sptag_spark.operators.ivfpq import ivf_pq_append
+
+                ivf_pq_append(spark, index_path, batch, id_col=id_col,
+                              vec_col=vec_col, idempotent=True)
+            else:
+                from sptag_spark.operators.knn import ivf_append
+
+                ivf_append(spark, index_path, batch, id_col=id_col,
+                           vec_col=vec_col, idempotent=True)
+            _os.makedirs(_os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w"):
+                pass
+        if max_posting_size is not None:
+            from sptag_spark.operators.knn import ivf_split
+
+            ivf_split(spark, index_path, max_posting_size,
+                      id_col=id_col, vec_col=vec_col)
+
+    return handle
+
+
+def stream_ann_ingest(
+    vectors_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_posting_size: int | None = None,
+):
+    """Streaming vector ingest into a persisted IVF / IVF-PQ index — the
+    reference's update-while-search freshness loop (SPFresh: foreground
+    append + background posting split, ExtraDynamicSearcher.h:637-894)
+    as a Structured Streaming sink. Each micro-batch assigns (and, on a
+    composed index, PQ-encodes) against the PINNED heads + codebooks and
+    appends only the touched bucket partitions; with `max_posting_size`
+    set, over-limit postings are 2-means-split after each batch (new
+    heads registered, zero vectors dropped), so posting sizes stay
+    bounded under sustained ingest — the lossless alternative to a
+    compaction cap.
+
+    Exactly-once EFFECT despite foreachBatch's at-least-once invocation:
+    appends run `idempotent=True` (knn.append_postings_rows — incoming
+    (id, bucket) assignments anti-join the touched bucket partitions, so
+    a partially committed batch appends only the rows still missing on
+    replay), and a per-batch marker written between append and split
+    guarantees a replay never re-assigns a batch against a post-split
+    head set (see _ann_ingest_handler for the window-by-window
+    argument). Single ingest writer per index assumed (Spark's streaming
+    checkpoint enforces one query per checkpoint dir); the marker and
+    split machinery are driver-local file ops, so — like ivf_split /
+    ivf_compact — streaming ingest targets local/NFS index paths."""
+    handle = _ann_ingest_handler(index_path, id_col, vec_col,
+                                 max_posting_size)
+    return (
+        vectors_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, sink_table: str, output_mode: str = "complete"
 ) -> None:
