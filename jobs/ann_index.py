@@ -166,7 +166,14 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "ingest":
         from sptag_spark.streaming.jobs import stream_ann_ingest
 
-        before = spark.read.parquet(f"{args.index}/postings").count()
+        def _live_ids() -> int:
+            # distinct LIVE vectors — invariant to replica fan-out and
+            # to splits folding tombstoned rows mid-run, unlike a raw
+            # postings-row delta
+            return knn.read_postings(spark, args.index) \
+                .select("vec_id").distinct().count()
+
+        before = _live_ids()
         schema = spark.read.parquet(args.inp).schema
         stream = (
             spark.readStream.schema(schema)
@@ -177,9 +184,9 @@ def main(argv: list[str] | None = None) -> int:
             stream, args.index, args.checkpoint,
             max_posting_size=args.max_posting_size,
         ).awaitTermination()
-        post = spark.read.parquet(f"{args.index}/postings")
-        metrics["rows"] = post.count()
-        metrics["ingested"] = metrics["rows"] - before
+        metrics["ingested"] = _live_ids() - before
+        metrics["rows"] = spark.read.parquet(
+            f"{args.index}/postings").count()
         metrics["heads"] = spark.read.parquet(
             f"{args.index}/centroids").count()
     elif args.cmd == "search":

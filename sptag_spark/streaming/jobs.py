@@ -355,7 +355,8 @@ def stream_asof_enrich(
 
 
 def _ann_ingest_handler(index_path: str, id_col: str, vec_col: str,
-                        max_posting_size: int | None):
+                        max_posting_size: int | None, marker_dir: str,
+                        is_pq: bool):
     """foreachBatch handler for stream_ann_ingest; module-level so the
     replay-idempotency property is directly testable (the same pattern
     as _asof_enrich_handler).
@@ -374,18 +375,30 @@ def _ann_ingest_handler(index_path: str, id_col: str, vec_col: str,
       post-split head set, which could otherwise duplicate an id into a
       different bucket — and re-runs the split, which is restartable
       (entry-time swap recovery) and a no-op once postings are within
-      the limit."""
+      the limit.
+
+    Markers live under the CHECKPOINT dir (`marker_dir`), not the index:
+    a replay can only happen within one checkpoint's lifetime, batch ids
+    restart at 0 under a fresh checkpoint, and index-side markers would
+    collide across lifetimes and silently skip real appends. Markers
+    below the current batch id are garbage-collected at entry (batch N
+    committing in the checkpoint means batches < N can never replay)."""
     import os as _os
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        marker = _os.path.join(index_path, "_ingest_commits",
-                               f"batch-{batch_id}")
+        _os.makedirs(marker_dir, exist_ok=True)
+        for stale in _os.listdir(marker_dir):
+            if stale.startswith("batch-") and \
+                    int(stale.split("-", 1)[1]) < batch_id:
+                _os.unlink(_os.path.join(marker_dir, stale))
+        marker = _os.path.join(marker_dir, f"batch-{batch_id}")
         if not _os.path.exists(marker):
-            postings = spark.read.parquet(f"{index_path}/postings")
-            if "codes" in postings.columns:
+            # within-batch duplicate ids would race the pair guard
+            batch = batch.dropDuplicates([id_col])
+            if is_pq:
                 from sptag_spark.operators.ivfpq import ivf_pq_append
 
                 ivf_pq_append(spark, index_path, batch, id_col=id_col,
@@ -395,7 +408,6 @@ def _ann_ingest_handler(index_path: str, id_col: str, vec_col: str,
 
                 ivf_append(spark, index_path, batch, id_col=id_col,
                            vec_col=vec_col, idempotent=True)
-            _os.makedirs(_os.path.dirname(marker), exist_ok=True)
             with open(marker, "w"):
                 pass
         if max_posting_size is not None:
@@ -426,19 +438,39 @@ def stream_ann_ingest(
     bounded under sustained ingest — the lossless alternative to a
     compaction cap.
 
-    Exactly-once EFFECT despite foreachBatch's at-least-once invocation:
-    appends run `idempotent=True` (knn.append_postings_rows — incoming
-    (id, bucket) assignments anti-join the touched bucket partitions, so
-    a partially committed batch appends only the rows still missing on
-    replay), and a per-batch marker written between append and split
-    guarantees a replay never re-assigns a batch against a post-split
-    head set (see _ann_ingest_handler for the window-by-window
-    argument). Single ingest writer per index assumed (Spark's streaming
-    checkpoint enforces one query per checkpoint dir); the marker and
-    split machinery are driver-local file ops, so — like ivf_split /
-    ivf_compact — streaming ingest targets local/NFS index paths."""
-    handle = _ann_ingest_handler(index_path, id_col, vec_col,
-                                 max_posting_size)
+    Exactly-once EFFECT for Spark's own replays, despite foreachBatch's
+    at-least-once invocation: appends run `idempotent=True`
+    (knn.append_postings_rows — incoming (id, bucket) assignments
+    anti-join the touched bucket partitions, so a partially committed
+    batch appends only the rows still missing on replay), and a
+    per-batch marker under the CHECKPOINT dir, written between append
+    and split, guarantees a replay never re-assigns a batch against a
+    post-split head set (see _ann_ingest_handler for the window-by-
+    window argument). Scope note for at-least-once PRODUCERS: duplicate
+    ids within one micro-batch are dropped, and re-deliveries across
+    batches dedupe exactly while the head set is unchanged — a
+    re-delivery that straddles a split may land a second live copy (a
+    spurious replica; dedupe upstream, e.g. dropDuplicatesWithinWatermark
+    on the id, if the source re-sends). Single ingest writer per index
+    assumed (Spark's streaming checkpoint enforces one query per
+    checkpoint dir); the marker and split machinery are driver-local
+    file ops, so — like ivf_split / ivf_compact — streaming ingest
+    targets local/NFS index and checkpoint paths (validated here, fail
+    fast before any write)."""
+    import os
+
+    from sptag_spark.operators.knn import _require_local_index_path
+
+    _require_local_index_path(checkpoint_path, "stream_ann_ingest")
+    if max_posting_size is not None:
+        _require_local_index_path(index_path, "stream_ann_ingest")
+    spark = vectors_stream.sparkSession
+    is_pq = "codes" in spark.read.parquet(
+        f"{index_path}/postings").columns
+    handle = _ann_ingest_handler(
+        index_path, id_col, vec_col, max_posting_size,
+        marker_dir=os.path.join(checkpoint_path, "_ingest_commits"),
+        is_pq=is_pq)
     return (
         vectors_stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_path)

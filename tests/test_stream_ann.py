@@ -90,7 +90,9 @@ def test_ingest_batch_replay_is_idempotent(spark, emb, tmp_path):
     path = str(tmp_path / "idx")
     ivf_build(emb.filter("vec_id < 300"), 8, path, replica_count=2)
     batch = emb.filter("vec_id >= 300")
-    handle = _ann_ingest_handler(path, "vec_id", "embedding", None)
+    handle = _ann_ingest_handler(path, "vec_id", "embedding", None,
+                                 marker_dir=str(tmp_path / "markers"),
+                                 is_pq=False)
     handle(batch, 7)
     after_first = _pairs(spark, path)
     handle(batch, 7)                       # marker short-circuits
@@ -98,6 +100,13 @@ def test_ingest_batch_replay_is_idempotent(spark, emb, tmp_path):
     # the (id, bucket) anti-join guard alone (partial-commit window,
     # marker absent) also appends nothing the second time
     ivf_append(spark, path, batch, idempotent=True)
+    assert _pairs(spark, path) == after_first
+    # marker GC: a later batch retires the batch-7 marker
+    import os
+    handle(batch.limit(0), 8)              # empty batch: no-op, no GC
+    assert os.path.exists(str(tmp_path / "markers" / "batch-7"))
+    handle(emb.filter("vec_id = 299"), 9)  # ids already indexed: no rows
+    assert not os.path.exists(str(tmp_path / "markers" / "batch-7"))
     assert _pairs(spark, path) == after_first
 
 
