@@ -8,6 +8,7 @@
     ... ann_index.py compact --index /data/idx [--max-posting-size N]
     ... ann_index.py split   --index /data/idx --max-posting-size N
     ... ann_index.py merge   --index /data/idx --min-posting-size N
+    ... ann_index.py reassign --index /data/idx
     ... ann_index.py ingest  --in /data/stream_dir --index /data/idx \
         --checkpoint /data/ckpt [--max-posting-size N] \
         [--max-files-per-trigger 1]
@@ -21,7 +22,10 @@ RNG-pruned head postings (the reference's ReplicaCount closure);
 `split` evolves the head set by 2-means-splitting over-limit postings
 (lossless; `compact --max-posting-size` is the lossy distance-ordered
 cap); `merge` retires under-limit heads and folds their rows into the
-nearest surviving postings (the SPFresh merge-on-underflow); `ingest`
+nearest surviving postings (the SPFresh merge-on-underflow);
+`reassign` re-derives every live vector's placement against the
+current head set (the batch form of SPFresh ReassignAsync — after it,
+the index exactly equals a pinned-heads rebuild); `ingest`
 drains a parquet-directory STREAM into the index via Structured
 Streaming (streaming.jobs.stream_ann_ingest — replay-safe appends, and
 with --max-posting-size the SPFresh update-while-search loop: postings
@@ -75,6 +79,9 @@ def main(argv: list[str] | None = None) -> int:
     mg = sub.add_parser("merge")
     mg.add_argument("--index", required=True)
     mg.add_argument("--min-posting-size", type=int, required=True)
+
+    ra = sub.add_parser("reassign")
+    ra.add_argument("--index", required=True)
 
     ig = sub.add_parser("ingest")
     ig.add_argument("--in", dest="inp", required=True)
@@ -163,6 +170,10 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.index}/postings").count()
         metrics["heads"] = spark.read.parquet(
             f"{args.index}/centroids").count()
+    elif args.cmd == "reassign":
+        metrics["moved"] = knn.ivf_reassign(spark, args.index)
+        metrics["rows"] = spark.read.parquet(
+            f"{args.index}/postings").count()
     elif args.cmd == "ingest":
         from sptag_spark.streaming.jobs import stream_ann_ingest
 

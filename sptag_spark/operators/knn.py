@@ -1084,8 +1084,10 @@ def ivf_split(
     Scope note vs the reference: the split is local (only the over-limit
     bucket's rows re-partition between its two sub-heads); the
     reference's follow-up neighborhood reassignment of boundary vectors
-    in ADJACENT postings (ExtraDynamicSearcher.h:895-1146) is not
-    replayed — probes see the enlarged head set immediately, so the
+    in ADJACENT postings (ExtraDynamicSearcher.h:895-1146) is a
+    separate maintenance pass here — ivf_reassign restores the exact
+    pinned-rebuild placement at compact cadence. Between splits and
+    reassigns, probes see the enlarged head set immediately and the
     recall effect is second-order (gated in tests).
 
     Crash safety: new sub-partitions are appended first (unreferenced by
@@ -1328,6 +1330,83 @@ def ivf_merge(
         shutil.rmtree(tomb_dir)
     cleanup_probe_tables(path)
     return len(under)
+
+
+def ivf_reassign(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Re-derive every live vector's posting placement against the
+    CURRENT centroid table and rewrite the postings — the batch form of
+    the reference's post-split/merge neighborhood reassignment
+    (ExtraDynamicSearcher.h:895-1146 ReassignAsync: after a split,
+    vectors in nearby postings that are now closer to a new sub-head
+    move in, and split rows whose true nearest head is elsewhere move
+    out). ivf_split is deliberately local (it only re-partitions the
+    split bucket's rows between its two sub-heads — its documented
+    scope note); a reassign afterwards erases that note: the index
+    becomes EXACTLY a pinned-heads rebuild of its live rows (replica
+    fan-out re-derived from the meta, assignment in head space on
+    rotated indexes, PQ codes riding along untouched — codes depend on
+    the pinned codebooks, not the bucket).
+
+    Where the reference reassigns incrementally (its postings are
+    in-place NVMe pages, so locality is the whole game), the parquet
+    layout's unit of work is a partition rewrite, and reassignment at
+    compact cadence is one corpus pass through the same crash-safe
+    postings swap as ivf_compact/ivf_merge — tombstones fold in and the
+    log clears when a rewrite happens (a no-change reassign returns
+    early and leaves compaction to ivf_compact). Returns the size of
+    the symmetric difference between old and new (vector, bucket)
+    placements (0 = the index already equals its pinned rebuild)."""
+    import os
+    import shutil
+
+    _require_local_index_path(path, "ivf_reassign")
+    _recover_compact_swap(path)
+    _sweep_orphan_partitions(spark, path)
+
+    live = read_postings(spark, path, id_col)
+    cents = spark.read.parquet(f"{path}/centroids")
+    rep = int(read_index_meta(spark, path).get("replica_count", 1))
+    bucket_type = cents.schema["centroid_id"].dataType
+
+    # one copy per vector (replica copies are identical payloads), then
+    # re-derive the full (possibly replicated) fan-out from scratch
+    base = live.drop("bucket", "replica_rank") \
+        .dropDuplicates([id_col])
+    work, wv = _index_work_vec(spark, path, base, vec_col)
+    reassigned = assign_buckets(work, cents, id_col, wv,
+                                replica_count=rep)
+    if wv != vec_col:
+        reassigned = reassigned.drop(wv)
+    reassigned = reassigned.withColumn(
+        "bucket", F.col("bucket").cast(bucket_type)).persist()
+    try:
+        new_pairs = reassigned.select(id_col, "bucket")
+        old_pairs = live.select(id_col, "bucket").withColumn(
+            "bucket", F.col("bucket").cast(bucket_type))
+        # symmetric difference: a stale EXTRA copy (old ⊃ new — e.g. a
+        # duplicate left by an at-least-once producer straddling a
+        # split) must trigger the rewrite too, not just moved rows
+        changed = (new_pairs.join(old_pairs, [id_col, "bucket"], "anti")
+                   .count()
+                   + old_pairs.join(new_pairs, [id_col, "bucket"],
+                                    "anti").count())
+        if changed == 0:
+            return 0
+        _write_postings(reassigned, f"{path}/postings_compacting",
+                        "overwrite")
+    finally:
+        reassigned.unpersist()
+    _swap_dir(path, "postings")
+    tomb_dir = f"{path}/tombstones"
+    if os.path.isdir(tomb_dir):
+        shutil.rmtree(tomb_dir)
+    cleanup_probe_tables(path)
+    return changed
 
 
 def cleanup_probe_tables(path_or_scratch_dir: str) -> None:

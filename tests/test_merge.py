@@ -232,3 +232,90 @@ def test_merge_rotated_ivfpq_assigns_in_head_space(spark, emb, tmp_path):
     res = ivf_pq_probe(spark, path, q, k=5, nprobe=8, rerank=10**6)
     exact = brute_force_topk(emb, q, k=5)
     assert recall_at_k(res, exact) > 0.5
+
+
+# ---- ivf_reassign: the batch form of SPFresh ReassignAsync ----------------
+
+
+def test_reassign_restores_pinned_rebuild_after_split(spark, emb, tmp_path):
+    """Split is deliberately local (only the split bucket's rows
+    re-partition between its two sub-heads); ivf_reassign afterwards
+    makes the index EXACTLY a pinned-heads rebuild — rows in other
+    postings now closer to a new sub-head move in, split rows whose
+    true argmin is elsewhere move out."""
+    from sptag_spark.operators.knn import ivf_reassign
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb, 4, path)
+    assert ivf_split(spark, path, max_posting_size=60) > 0
+    cents = spark.read.parquet(f"{path}/centroids")
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf_build(emb, 4, rebuilt, centroids=cents)
+
+    def pairs(p):
+        return sorted((r["vec_id"], r["bucket"]) for r in
+                      spark.read.parquet(f"{p}/postings")
+                      .select("vec_id", "bucket").collect())
+
+    ivf_reassign(spark, path)
+    assert pairs(path) == pairs(rebuilt)
+    n = emb.count()
+    assert spark.read.parquet(f"{path}/postings").count() == n
+    q = emb.filter("vec_id < 8")
+    got = _probe_sorted(spark, path, q, k=5, nprobe=4)
+    assert got and got == _probe_sorted(spark, rebuilt, q, k=5, nprobe=4)
+    # fixpoint: a second reassign finds nothing to move
+    assert ivf_reassign(spark, path) == 0
+
+
+def test_reassign_replicated_rederives_fanout(spark, emb, tmp_path):
+    from sptag_spark.operators.knn import ivf_reassign
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb, 8, path, replica_count=2)
+    assert ivf_split(spark, path, max_posting_size=80) > 0
+    cents = spark.read.parquet(f"{path}/centroids")
+    ivf_reassign(spark, path)
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf_build(emb, 8, rebuilt, centroids=cents, replica_count=2)
+    for p in (path, rebuilt):
+        assert spark.read.parquet(f"{p}/postings") \
+            .select("vec_id").distinct().count() == emb.count()
+    a = sorted((r["vec_id"], r["bucket"]) for r in
+               spark.read.parquet(f"{path}/postings")
+               .select("vec_id", "bucket").collect())
+    b = sorted((r["vec_id"], r["bucket"]) for r in
+               spark.read.parquet(f"{rebuilt}/postings")
+               .select("vec_id", "bucket").collect())
+    assert a == b
+    assert ivf_reassign(spark, path) == 0
+
+
+def test_reassign_folds_tombstones_and_pins_codes(spark, emb, tmp_path):
+    """Rotated composed index: codes depend on the pinned codebooks, not
+    the bucket — a moved row keeps its codes bit-identically; deleted
+    rows fold out and the log clears."""
+    from sptag_spark.operators.knn import ivf_reassign
+
+    path = str(tmp_path / "idx")
+    ivf_pq_build(emb, 4, path, m=4, k_codes=16, rotation="opq")
+    assert ivf_split(spark, path, max_posting_size=60) > 0
+    before = {r["vec_id"]: list(r["codes"]) for r in
+              spark.read.parquet(f"{path}/postings")
+              .select("vec_id", "codes").dropDuplicates(["vec_id"])
+              .collect()}
+    ivf_delete(spark, path, emb.filter("vec_id % 9 = 0"))
+    moved = ivf_reassign(spark, path)
+    post = spark.read.parquet(f"{path}/postings")
+    assert post.filter("vec_id % 9 = 0").count() == 0   # folded out
+    assert not os.path.isdir(f"{path}/tombstones")      # log cleared
+    after = {r["vec_id"]: list(r["codes"]) for r in
+             post.select("vec_id", "codes").collect()}
+    assert all(after[v] == before[v] for v in after)
+    # the symmetric-difference count covers the tombstoned placements
+    # that folded out
+    assert moved >= len(before) - len(set(after))
+    res = ivf_pq_probe(spark, path, emb.filter("vec_id < 8"),
+                       k=5, nprobe=8, rerank=64)
+    assert res.count() == 40
+    assert ivf_reassign(spark, path) == 0
