@@ -1388,13 +1388,16 @@ def ivf_reassign(
         new_pairs = reassigned.select(id_col, "bucket")
         old_pairs = live.select(id_col, "bucket").withColumn(
             "bucket", F.col("bucket").cast(bucket_type))
-        # symmetric difference: a stale EXTRA copy (old ⊃ new — e.g. a
-        # duplicate left by an at-least-once producer straddling a
-        # split) must trigger the rewrite too, not just moved rows
-        changed = (new_pairs.join(old_pairs, [id_col, "bucket"], "anti")
-                   .count()
-                   + old_pairs.join(new_pairs, [id_col, "bucket"],
-                                    "anti").count())
+        # MULTISET symmetric difference (exceptAll, one job — anti-joins
+        # have set semantics and would miss duplicate rows in the SAME
+        # (vector, bucket), e.g. a non-idempotent append replayed
+        # against pinned heads): any stale extra copy triggers the
+        # rewrite, and the rewrite is built from the per-id deduped
+        # base, so reassign also clears such duplicates
+        changed = (
+            new_pairs.exceptAll(old_pairs)
+            .unionAll(old_pairs.exceptAll(new_pairs)).count()
+        )
         if changed == 0:
             return 0
         _write_postings(reassigned, f"{path}/postings_compacting",

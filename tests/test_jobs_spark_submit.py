@@ -236,9 +236,19 @@ def test_spark_submit_ann_index_lifecycle(tmp_path):
                 "--queries", qs, "--out", out3, "--k", "5",
                 "--nprobe", "8", "--rerank", "32")
     assert m["results"] == 30
-    # merge-on-underflow: with the limit above every post-split posting
-    # size, all heads but the largest retire (deterministic), rows fold
-    # into the survivor losslessly, and search keeps working
+    # post-split neighborhood reassignment: placements re-derive
+    # against the evolved head set (lossless; codes pinned)
+    m = _submit(zpath, "ann_index.py", "reassign", "--index", idx)
+    assert m["moved"] >= 0 and m["rows"] == n_live
+    out3b = os.path.join(tmp, "r3b")
+    m = _submit(zpath, "ann_index.py", "search", "--index", idx,
+                "--queries", qs, "--out", out3b, "--k", "5",
+                "--nprobe", "8", "--rerank", "32")
+    assert m["results"] == 30
+    # merge-on-underflow: with >16 heads over 429 live rows, pigeonhole
+    # guarantees under-26 postings exist (post-reassign sizes may move,
+    # so "all but the largest retire" is no longer exact); retiring
+    # heads fold rows into survivors losslessly and search keeps working
     m = _submit(zpath, "ann_index.py", "merge", "--index", idx,
                 "--min-posting-size", "26")
     assert m["merged"] > 0 and m["rows"] == n_live and m["heads"] >= 1

@@ -312,10 +312,35 @@ def test_reassign_folds_tombstones_and_pins_codes(spark, emb, tmp_path):
     after = {r["vec_id"]: list(r["codes"]) for r in
              post.select("vec_id", "codes").collect()}
     assert all(after[v] == before[v] for v in after)
-    # the symmetric-difference count covers the tombstoned placements
-    # that folded out
-    assert moved >= len(before) - len(set(after))
+    # tombstoned placements are on NEITHER side of the change count
+    # (read_postings hides them) — `moved` here is pure split-boundary
+    # drift, which this deterministic fixture provably has (and must,
+    # or the early return would have skipped the fold asserted above)
+    assert moved > 0
     res = ivf_pq_probe(spark, path, emb.filter("vec_id < 8"),
                        k=5, nprobe=8, rerank=64)
     assert res.count() == 40
+    assert ivf_reassign(spark, path) == 0
+
+
+def test_reassign_detects_and_clears_duplicate_copies(spark, emb, tmp_path):
+    """A non-idempotent append replayed against pinned heads lands
+    byte-identical (vector, bucket) rows twice. Set-semantics change
+    detection would call that 'equal to the pinned rebuild' and skip;
+    the multiset (exceptAll) detector triggers, and the rewrite — built
+    from the per-id deduped base — clears the duplicates."""
+    from sptag_spark.operators.knn import ivf_append, ivf_reassign
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb.filter("vec_id < 400"), 8, path)
+    batch = emb.filter("vec_id >= 400")
+    ivf_append(spark, path, batch)
+    ivf_append(spark, path, batch)          # replay, no guard: dupes
+    post = spark.read.parquet(f"{path}/postings")
+    assert post.count() == emb.count() + batch.count()
+    assert ivf_reassign(spark, path) > 0
+    post = spark.read.parquet(f"{path}/postings")
+    assert post.count() == emb.count()
+    assert post.groupBy("vec_id", "bucket").count() \
+        .filter("count > 1").count() == 0
     assert ivf_reassign(spark, path) == 0
