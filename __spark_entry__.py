@@ -574,8 +574,8 @@ def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_documents(spark, sf_dir), threshold=0.5)
 
 
-_MAX_DF_SQL = ("greatest(500, CAST(ceil(0.005 * "
-               "(SELECT count(*) FROM documents)) AS BIGINT))")
+_MAX_DF_SQL = ("least(greatest(500, CAST(ceil(0.005 * "
+               "(SELECT count(*) FROM documents)) AS BIGINT)), 5000)")
 
 _DEDUP_JACCARD_ORACLE = _SHINGLES_CTE + f""",
 e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS sh1 FROM s),
@@ -649,11 +649,13 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(_documents(spark, sf_dir), max_hamming=3)
 
 
-def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
-    h32 = "(('0x' || substr(md5(w), 1, 8))::BIGINT)"
+def _simhash_oracle(bits: int = 60, max_hamming: int = 3) -> str:
+    # 60-bit shingle hash: first 15 md5 hex chars (< 2^60, positive in
+    # BIGINT — mirrors dedup.simhash_sketch / simhash_sketch_arrow)
+    h60 = "(('0x' || substr(md5(w), 1, 15))::BIGINT)"
     terms = " + ".join(
         f"(CASE WHEN list_sum(list_transform(hs, "
-        f"w -> ((({h32}) >> {j}) & 1) * 2 - 1)) > 0 "
+        f"w -> ((({h60}) >> {j}) & 1) * 2 - 1)) > 0 "
         f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(bits)
     )
@@ -1655,7 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_jaccard": _DEDUP_JACCARD_ORACLE,
         "dedup_minhash_lsh": _minhash_lsh_oracle(12, 4),
-        "dedup_simhash": _simhash_oracle(32, 3),
+        "dedup_simhash": _simhash_oracle(60, 3),
         "knn_cosine_topk": _KNN_ORACLE,
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
         "ivf_knn_topk": _IVF_ORACLE,

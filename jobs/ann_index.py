@@ -31,6 +31,14 @@ Streaming (streaming.jobs.stream_ann_ingest — replay-safe appends, and
 with --max-posting-size the SPFresh update-while-search loop: postings
 stay bounded under sustained ingest, checkpointed exactly-once).
 
+CAUTION — maintenance vs. a crashed ingest: do not run `split`,
+`merge`, or `compact` on an index whose ingest checkpoint holds an
+uncommitted batch (a crashed `ingest` that has not been restarted);
+evolving the head set there can make the replayed append duplicate ids
+into different buckets. `reassign` is safe in that window (pinned
+heads, per-id dedupe). Restart and drain the ingest first — see
+streaming.jobs.stream_ann_ingest's operational-constraint note.
+
 The CLI surface of the reference's IndexBuilder + SSDServing mains
 (AnnService/src/IndexBuilder/main.cpp:1-150, SSDServing/main.cpp) over
 the engine's persisted bucketed-postings layout: build once, then

@@ -18,9 +18,10 @@ Scale notes (100 TB):
   balanced-partition λ penalty, BKTree.h:250-251);
 - MinHash/LSH replaces the quadratic join with B band-bucket joins —
   candidate pairs only, verified by exact Jaccard afterwards if needed;
-- SimHash blocks on the four 8-bit bytes of a 32-bit sketch; for hamming
-  radius <=3 the 4-block pigeonhole makes the blocked join *lossless* vs
-  brute force (the oracle IS the brute-force cross join).
+- SimHash blocks on m-of-6 10-bit block combinations of a 60-bit sketch
+  (Manku-style); for hamming radius <= 6-m the combination pigeonhole
+  makes the blocked join *lossless* vs brute force (the oracle IS the
+  brute-force cross join).
 """
 
 from __future__ import annotations
@@ -149,17 +150,31 @@ def _exploded_shingles(
 
 
 # Stop-shingle cap defaults: a shingle shared by more than
-# max(FLOOR, FRAC * n_docs) documents is a stop phrase — it contributes
-# ~nothing to Jaccard on real pairs but makes a quadratic join group.
+# min(max(FLOOR, FRAC * n_docs), CEIL) documents is a stop phrase — it
+# contributes ~nothing to Jaccard on real pairs but makes a quadratic
+# join group. CEIL makes the cap ABSOLUTE: a purely fractional cap grows
+# linearly with the corpus, so the worst permitted join group (cap^2
+# pairs) grows QUADRATICALLY with N — at 10^9 docs a 0.005 frac allows
+# 5e6-doc shingle groups = ~1.2e13-pair join explosions. With CEIL the
+# worst group is CEIL^2 pairs (~2.5e7) regardless of corpus size; docs
+# sharing only stop-phrases above the cap belong in jaccard_pairs_lsh
+# (banded signatures, no shingle join) anyway.
 MAX_DF_FLOOR = 500
 MAX_DF_FRAC = 0.005
+MAX_DF_CEIL = 5_000
 
 
 def auto_max_df(df: DataFrame) -> int:
-    """Corpus-derived doc-frequency cap: max(500, ceil(0.005 * n_docs)).
-    The count() is parquet-metadata-cheap; the formula is mirrored
-    verbatim in the SQL oracle so capped results stay hash-exact."""
-    return max(MAX_DF_FLOOR, math.ceil(MAX_DF_FRAC * df.count()))
+    """Corpus-derived doc-frequency cap:
+    min(max(500, ceil(0.005 * n_docs)), 5000). The count() is
+    parquet-metadata-cheap; the formula is mirrored verbatim in the SQL
+    oracle so capped results stay hash-exact. The 5000 ceiling bounds
+    the largest permitted join group independent of corpus size (the
+    100-TB fix — see MAX_DF_CEIL's comment)."""
+    return min(
+        max(MAX_DF_FLOOR, math.ceil(MAX_DF_FRAC * df.count())),
+        MAX_DF_CEIL,
+    )
 
 
 def jaccard_pairs(
@@ -497,23 +512,27 @@ def jaccard_pairs_lsh(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
-SIMHASH_BLOCKS = 4
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 6
+_SIMHASH_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 10
 
 
-def simhash32(text_col) -> "F.Column":
-    """32-bit SimHash over the 3-word shingles of the normalized text.
+def simhash_sketch(text_col) -> "F.Column":
+    """60-bit SimHash over the 3-word shingles of the normalized text.
 
-    Shingle hash = first 8 hex chars of md5 (engine-neutral). Bit j of the
-    sketch is 1 iff sum over shingles of ±1 (sign of hash bit j) > 0.
-    Shingles, not words: on a small shared vocabulary word-level sketches
-    saturate (every doc has near-identical word sets) while the shingle
-    set is ~|vocab|^3 and keeps random pairs near hamming 16.
+    Shingle hash = first 15 hex chars of md5 (60 bits, engine-neutral,
+    and < 2^60 so it stays positive in int64 in BOTH engines — bit 63
+    would need negative-number gymnastics DuckDB and Spark disagree on).
+    Bit j of the sketch is 1 iff sum over shingles of ±1 (sign of hash
+    bit j) > 0. Shingles, not words: on a small shared vocabulary
+    word-level sketches saturate (every doc has near-identical word
+    sets) while the shingle set is ~|vocab|^3 and keeps random pairs
+    near hamming 30.
     """
     shingles = word_shingles(text_col, 3)
     hashes = F.transform(
         shingles,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
     )
     return simhash_from_hashes(hashes)
 
@@ -521,7 +540,7 @@ def simhash32(text_col) -> "F.Column":
 def simhash_from_hashes(hashes: "F.Column") -> "F.Column":
     """SimHash sketch from an already-computed array<long> of feature
     hashes. Callers on the hot path should materialize the hash array in
-    its own projection first — the 32 per-bit aggregates each reference
+    its own projection first — the 60 per-bit aggregates each reference
     it, and inlining would recompute md5+conv 32x per row."""
     def _bit_weight(mask: int):
         return lambda acc, h: acc + F.when(
@@ -543,7 +562,7 @@ def simhash_from_hashes(hashes: "F.Column") -> "F.Column":
 
 
 def _simhash_arrow(hashed: DataFrame) -> DataFrame:
-    """(_id, _h array<long>) -> (_id, sim): the 32 per-bit majority votes
+    """(_id, _h array<long>) -> (_id, sim): the 60 per-bit majority votes
     in one vectorized numpy pass per Arrow batch. Bit-identical to
     simhash_from_hashes — md5 stays JVM-side, only the bit math moves to
     numpy. SUPERSEDED on the hot path by simhash_sketch_arrow (which
@@ -594,13 +613,14 @@ def simhash_sketch_arrow(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, text) -> (_id, sim): normalize + distinct 3-shingles + md5 +
-    the 32 per-bit majority votes fused in ONE Python kernel — the
+    the 60 per-bit majority votes fused in ONE Python kernel — the
     scaling shape (see minhash_signature_arrow: JVM per-shingle string
     churn flat-lines across threads in one JVM; Python workers scale at
-    ~1.0). Bit-identical to simhash32 (tested): distinct shingles (votes
-    count the shingle SET, matching array_distinct), same md5-first-8-hex
-    int64, NULL text -> all-bits-lose -> sim 0 (the expression's
-    when(null).otherwise(-1) semantics)."""
+    ~1.0). Bit-identical to simhash_sketch (tested): distinct shingles
+    (votes count the shingle SET, matching array_distinct), same
+    md5-first-15-hex int64 (= first 8 digest bytes >> 4), NULL text ->
+    all-bits-lose -> sim 0 (the expression's when(null).otherwise(-1)
+    semantics)."""
     import numpy as np
     import pyarrow as pa
 
@@ -628,11 +648,12 @@ def simhash_sketch_arrow(
                     ))
                 else:
                     shingles = [nm]
-                xs = np.frombuffer(
-                    b"".join(hashlib.md5(s.encode("utf-8")).digest()[:4]
+                # first 15 md5 hex chars == first 8 digest bytes >> 4
+                xs = (np.frombuffer(
+                    b"".join(hashlib.md5(s.encode("utf-8")).digest()[:8]
                              for s in shingles),
-                    dtype=">u4",
-                ).astype(np.int64)
+                    dtype=">u8",
+                ) >> np.uint64(4)).astype(np.int64)
                 votes = (((xs[:, None] >> ar) & 1) * 2 - 1).sum(axis=0)
                 sims.append(int(((votes > 0) * weights).sum()))
             yield pa.record_batch(
@@ -655,36 +676,57 @@ def simhash_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Blocked join on the four 8-bit bytes of the 32-bit sketch: any pair
-    within hamming distance 3 agrees on >= 1 whole block (pigeonhole), so
-    the blocked join returns EXACTLY the brute-force answer — same trick
-    as the reference's tree-pruned search guaranteeing the true neighbor
-    is in a visited partition (BKTree.h:799-827).
+    Combination blocking (Manku/Jain/Sarma, WWW'07 §3): the 60-bit
+    sketch splits into 6 10-bit blocks; a pair within hamming h <=
+    max_hamming differs in at most h blocks, so it AGREES on at least
+    6-h >= (6 - max_hamming) whole blocks, and therefore on at least one
+    FIXED combination of m = 6 - max_hamming blocks (pigeonhole over the
+    C(6, m) combinations). Blocking on every m-block combination returns
+    EXACTLY the brute-force answer — same trick as the reference's
+    tree-pruned search guaranteeing the true neighbor is in a visited
+    partition (BKTree.h:799-827).
+
+    Scale: the bucket key is m*10 sketch bits — 30 bits at the default
+    radius 3 (~10^9 buckets), vs the 8-bit single-block keys of the old
+    32-bit/4-block scheme whose N/256 expected bucket size degenerated
+    quadratically at 10^8+ docs. Explode factor is C(6, m) rows/doc
+    (20 at radius 3) — linear cost buying the quadratic fix.
     """
-    assert max_hamming <= SIMHASH_BLOCKS - 1, \
-        "4-block pigeonhole only covers radius blocks-1"
-    bits_per_block = SIMHASH_BITS // SIMHASH_BLOCKS
-    block_mask = (1 << bits_per_block) - 1
+    assert 1 <= max_hamming <= SIMHASH_BLOCKS - 1, \
+        "6-block pigeonhole only covers 1 <= radius <= blocks-1"
+    from itertools import combinations
+
+    m = SIMHASH_BLOCKS - max_hamming
+    block_mask = (1 << _SIMHASH_BLOCK_BITS) - 1
+    combos = list(combinations(range(SIMHASH_BLOCKS), m))
     sh = simhash_sketch_arrow(df, id_col, text_col)
-    # Block value = the masked byte in place (no shift needed: equality on
-    # sim & mask == equality on the block).
+    # Key col i of combo c = the c[i]-th block's bits masked IN PLACE
+    # (no shift: equality on sim & mask == equality on the block). Raw
+    # long key columns, never a concat string — JVM per-row string
+    # allocation is the thread-scaling killer (CLAUDE.md rule 13).
+    kcols = [f"k{i}" for i in range(m)]
     blocked = sh.select(
         "_id", "sim",
         F.explode(F.array(*[
             F.struct(
-                F.lit(j).alias("blk"),
-                F.col("sim").bitwiseAND(
-                    F.lit(block_mask << (bits_per_block * j))
-                ).alias("bval"),
+                F.lit(ci).alias("cmb"),
+                *[
+                    F.col("sim").bitwiseAND(F.lit(
+                        block_mask << (_SIMHASH_BLOCK_BITS * blk)
+                    )).alias(kcols[i])
+                    for i, blk in enumerate(combo)
+                ],
             )
-            for j in range(SIMHASH_BLOCKS)
+            for ci, combo in enumerate(combos)
         ])).alias("b"),
-    ).select("_id", "sim", "b.blk", "b.bval")
+    ).select("_id", "sim", "b.cmb", *[f"b.{k}" for k in kcols])
     a, b = blocked.alias("a"), blocked.alias("b")
+    cond = (F.col("a.cmb") == F.col("b.cmb")) \
+        & (F.col("a._id") < F.col("b._id"))
+    for k in kcols:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     pairs = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk"))
-               & (F.col("a.bval") == F.col("b.bval"))
-               & (F.col("a._id") < F.col("b._id")))
+        a.join(b, cond)
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),

@@ -938,8 +938,48 @@ def _swap_dir(path: str, name: str) -> None:
 
 
 def _recover_compact_swap(path: str) -> None:
+    # Marker-gated tombstone reconciliation MUST run while the swap
+    # state is still observable (before _recover_swap destroys it): the
+    # marker says "postings_compacting folds the current tombstone log",
+    # so if the swap reached the point of no return (old postings
+    # retired, or fully swapped) the folded copy is what recovery keeps
+    # and the log is stale — clearing it here closes the crash window
+    # between _swap_dir and rmtree(tombstones), where a stale log would
+    # silently hide any later re-insert of the folded ids until the
+    # next compact.
+    import os
+    import shutil
+
+    marker = f"{path}/tombstones_folded"
+    if os.path.exists(marker):
+        retired = os.path.isdir(f"{path}/postings_retired")
+        tmp = os.path.isdir(f"{path}/postings_compacting")
+        if retired or not tmp:
+            # swap started or completed -> the folded postings survive
+            # recovery (roll-forward keeps tmp; completed keeps new)
+            _recover_swap(path, "postings")
+            shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+        # else: crash before the swap began — old postings stay live,
+        # the log is still authoritative; _recover_swap discards tmp
+        os.unlink(marker)
     _recover_swap(path, "postings")
     _recover_swap(path, "centroids")
+
+
+def _swap_postings_clearing_tombstones(path: str) -> None:
+    """Swap postings_compacting live AND retire the tombstone log as one
+    crash-safe unit. The caller guarantees postings_compacting was built
+    from tombstone-folded rows; the marker written before the swap lets
+    entry recovery (_recover_compact_swap) finish the log removal if the
+    process dies between the swap and the rmtree."""
+    import os
+    import shutil
+
+    marker = f"{path}/tombstones_folded"
+    open(marker, "w").close()
+    _swap_dir(path, "postings")
+    shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    os.unlink(marker)
 
 
 def ivf_compact(
@@ -966,9 +1006,6 @@ def ivf_compact(
     The swap is a local-filesystem directory rename coordinated by the
     driver (validated — object-store paths raise); a half-completed
     swap from a crashed run is rolled forward/back at entry."""
-    import os
-    import shutil
-
     _require_local_index_path(path, "ivf_compact")
     _recover_compact_swap(path)
     _sweep_orphan_partitions(spark, path)
@@ -1008,10 +1045,7 @@ def ivf_compact(
         else:
             raise ValueError(f"unknown cap_order {cap_order!r}")
     _write_postings(post, f"{path}/postings_compacting", "overwrite")
-    _swap_dir(path, "postings")
-    tomb_dir = f"{path}/tombstones"
-    if os.path.isdir(tomb_dir):
-        shutil.rmtree(tomb_dir)
+    _swap_postings_clearing_tombstones(path)
     # join-mode probe side tables ({path}/_probes/<uuid>) are transient
     # per-wave artifacts; compaction is their janitor
     cleanup_probe_tables(path)
@@ -1275,9 +1309,6 @@ def ivf_merge(
     nothing to move.
 
     Returns the number of retired heads."""
-    import os
-    import shutil
-
     _require_local_index_path(path, "ivf_merge")
     _recover_compact_swap(path)
     _sweep_orphan_partitions(spark, path)
@@ -1321,13 +1352,10 @@ def ivf_merge(
         )
     new_post = keep.unionByName(reassigned.select(*keep.columns))
     _write_postings(new_post, f"{path}/postings_compacting", "overwrite")
-    _swap_dir(path, "postings")
+    _swap_postings_clearing_tombstones(path)
     surv_cents.write.mode("overwrite") \
         .parquet(f"{path}/centroids_compacting")
     _swap_dir(path, "centroids")
-    tomb_dir = f"{path}/tombstones"
-    if os.path.isdir(tomb_dir):
-        shutil.rmtree(tomb_dir)
     cleanup_probe_tables(path)
     return len(under)
 
@@ -1361,9 +1389,6 @@ def ivf_reassign(
     early and leaves compaction to ivf_compact). Returns the size of
     the symmetric difference between old and new (vector, bucket)
     placements (0 = the index already equals its pinned rebuild)."""
-    import os
-    import shutil
-
     _require_local_index_path(path, "ivf_reassign")
     _recover_compact_swap(path)
     _sweep_orphan_partitions(spark, path)
@@ -1404,10 +1429,7 @@ def ivf_reassign(
                         "overwrite")
     finally:
         reassigned.unpersist()
-    _swap_dir(path, "postings")
-    tomb_dir = f"{path}/tombstones"
-    if os.path.isdir(tomb_dir):
-        shutil.rmtree(tomb_dir)
+    _swap_postings_clearing_tombstones(path)
     cleanup_probe_tables(path)
     return changed
 

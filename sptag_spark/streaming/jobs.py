@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -391,13 +391,28 @@ def _ann_ingest_handler(index_path: str, id_col: str, vec_col: str,
         spark = batch.sparkSession
         _os.makedirs(marker_dir, exist_ok=True)
         for stale in _os.listdir(marker_dir):
-            if stale.startswith("batch-") and \
-                    int(stale.split("-", 1)[1]) < batch_id:
+            # suffix must be all digits: a stray non-marker file (editor
+            # backup, partial write) would otherwise ValueError here and
+            # permanently fail every subsequent micro-batch
+            suffix = stale.split("-", 1)[-1]
+            if stale.startswith("batch-") and suffix.isdigit() \
+                    and int(suffix) < batch_id:
                 _os.unlink(_os.path.join(marker_dir, stale))
         marker = _os.path.join(marker_dir, f"batch-{batch_id}")
         if not _os.path.exists(marker):
-            # within-batch duplicate ids would race the pair guard
-            batch = batch.dropDuplicates([id_col])
+            # Within-batch duplicate ids would race the pair guard; the
+            # survivor must be DETERMINISTIC (min payload hash per id),
+            # not dropDuplicates' arbitrary first-seen row: a replay
+            # after a partially committed append that kept a different
+            # payload could assign the id a different bucket, and the
+            # (id, bucket) anti-join guard would then append a second
+            # live copy of the id.
+            w = Window.partitionBy(id_col).orderBy(
+                F.xxhash64(F.col(vec_col)).asc())
+            batch = (
+                batch.withColumn("_dup_rn", F.row_number().over(w))
+                .filter(F.col("_dup_rn") == 1).drop("_dup_rn")
+            )
             if is_pq:
                 from sptag_spark.operators.ivfpq import ivf_pq_append
 
@@ -456,7 +471,19 @@ def stream_ann_ingest(
     checkpoint dir); the marker and split machinery are driver-local
     file ops, so — like ivf_split / ivf_compact — streaming ingest
     targets local/NFS index and checkpoint paths (validated here, fail
-    fast before any write)."""
+    fast before any write).
+
+    OPERATIONAL CONSTRAINT (head-set stability across replays): the
+    replay-safety argument above assumes the head set is unchanged
+    between a pre-marker crash and the restart. Do NOT run CLI/batch
+    ivf_split / ivf_merge / ivf_compact against an index whose ingest
+    checkpoint holds an uncommitted batch (i.e. between a crashed
+    ingest and its restart): evolving the heads there means the
+    replayed append re-assigns against a different head set and can
+    land a second live copy of an id in a different bucket.
+    ivf_reassign IS safe in that window (it pins the head set and
+    dedupes per-id copies); otherwise restart the ingest query first
+    and let it drain before maintenance."""
     import os
 
     from sptag_spark.operators.knn import _require_local_index_path

@@ -18,7 +18,7 @@ from sptag_spark.operators.dedup import (
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
-    simhash32,
+    simhash_sketch,
 )
 
 BASE = ("the quick brown fox jumps over the lazy dog while the cat "
@@ -70,10 +70,11 @@ def test_minhash_lsh_candidates(docs):
 
 
 def test_simhash_blocked_join_is_lossless(docs, spark):
-    """The 4-block pigeonhole join must return exactly the brute-force
-    hamming<=3 pairs (reference invariant style, Check())."""
+    """The m-of-6-block combination join must return exactly the
+    brute-force hamming<=max_hamming pairs at every supported radius
+    (reference invariant style, Check())."""
     sims = {r["doc_id"]: r["sim"] for r in docs.select(
-        "doc_id", simhash32(F.col("text")).alias("sim")).collect()}
+        "doc_id", simhash_sketch(F.col("text")).alias("sim")).collect()}
     brute = {
         (a, b)
         for a, b in itertools.combinations(sorted(sims), 2)
@@ -83,6 +84,16 @@ def test_simhash_blocked_join_is_lossless(docs, spark):
                for r in simhash_pairs(docs, max_hamming=3).collect()}
     assert blocked == brute
     assert (0, 1) in blocked  # exact dups have hamming 0
+    # boundary radii: m = 5 blocks (radius 1) and m = 1 block (radius 5)
+    for radius in (1, 5):
+        brute_r = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(sims), 2)
+            if bin(sims[a] ^ sims[b]).count("1") <= radius
+        }
+        got = {(r["id_a"], r["id_b"])
+               for r in simhash_pairs(docs, max_hamming=radius).collect()}
+        assert got == brute_r, radius
 
 
 def test_sf001_documents_planted_dups(spark):
@@ -114,11 +125,26 @@ def test_jaccard_lsh_verify_precision_and_recall(docs):
 
 
 def test_auto_max_df_formula(docs):
-    from sptag_spark.operators.dedup import auto_max_df
+    from sptag_spark.operators.dedup import MAX_DF_CEIL, auto_max_df
 
     import math
     n = docs.count()
-    assert auto_max_df(docs) == max(500, math.ceil(0.005 * n))
+    assert auto_max_df(docs) == min(max(500, math.ceil(0.005 * n)),
+                                    MAX_DF_CEIL)
+
+
+def test_auto_max_df_is_corpus_size_independent_at_scale(spark):
+    """The stop-shingle cap — and therefore the largest join group
+    jaccard_pairs can ever build (cap^2 pairs) — must stop growing with
+    the corpus: a fraction-only cap made permitted join groups grow
+    quadratically with N (VERDICT r4). 2M rows would give 10_000 under
+    the old frac formula; the ceiling pins it."""
+    from sptag_spark.operators.dedup import MAX_DF_CEIL, auto_max_df
+
+    big = spark.range(2_000_000).withColumnRenamed("id", "doc_id")
+    assert auto_max_df(big) == MAX_DF_CEIL
+    huge = spark.range(50_000_000).withColumnRenamed("id", "doc_id")
+    assert auto_max_df(huge) == MAX_DF_CEIL
 
 
 def test_minhash_params_never_overflow_int64():
@@ -197,11 +223,11 @@ def test_simhash_sketch_arrow_bit_identical(spark):
     shingle+md5 expression path sketch-for-sketch (incl. NULL/empty)."""
     from pyspark.sql import functions as F
 
-    from sptag_spark.operators.dedup import simhash32, simhash_sketch_arrow
+    from sptag_spark.operators.dedup import simhash_sketch, simhash_sketch_arrow
 
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     expr = {r["doc_id"]: r["sim"] for r in docs.select(
-        "doc_id", simhash32(F.col("text")).alias("sim")).collect()}
+        "doc_id", simhash_sketch(F.col("text")).alias("sim")).collect()}
     arrow = {r["_id"]: r["sim"]
              for r in simhash_sketch_arrow(docs).collect()}
     assert expr == arrow and len(arrow) == docs.count()
@@ -212,7 +238,7 @@ def test_simhash_sketch_arrow_bit_identical(spark):
                     StructField("text", StringType())]),
     )
     e = {r["doc_id"]: r["sim"] for r in edge.select(
-        "doc_id", simhash32(F.col("text")).alias("sim")).collect()}
+        "doc_id", simhash_sketch(F.col("text")).alias("sim")).collect()}
     a = {r["_id"]: r["sim"] for r in simhash_sketch_arrow(edge).collect()}
     # NULL text: every bit's vote is the when(null)->otherwise(-1) loss
     assert e == a and a[3] == 0

@@ -204,6 +204,44 @@ def test_compact_crash_recovery_all_states(spark, emb, tmp_path):
     assert before == _probe_sorted(spark, path, q, k=5, nprobe=4)
 
 
+def test_tombstone_marker_crash_recovery(spark, emb, tmp_path):
+    """ADVICE r4 #2: a crash between the postings swap and
+    rmtree(tombstones) used to leave folded postings with a stale log
+    that silently hid any later re-insert of those ids. The
+    tombstones_folded marker lets entry recovery finish the removal —
+    while a crash BEFORE the swap keeps the log authoritative."""
+    from sptag_spark.operators.knn import read_postings
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb, 16, path)
+
+    # crash AFTER the swap, before rmtree(tombstones): marker present,
+    # no compacting dir, log already folded into live postings -> stale
+    ivf_delete(spark, path, emb.filter("vec_id = 3").select("vec_id"))
+    ivf_compact(spark, path)                    # normal fold + clear
+    emb.filter("vec_id = 5").select("vec_id") \
+        .write.mode("overwrite").parquet(f"{path}/tombstones")
+    open(f"{path}/tombstones_folded", "w").close()
+    ivf_compact(spark, path)                    # entry recovery clears
+    live = {r["vec_id"]
+            for r in read_postings(spark, path).select("vec_id").collect()}
+    assert 5 in live and 3 not in live
+    assert not os.path.exists(f"{path}/tombstones_folded")
+
+    # crash BEFORE the swap began: marker + compacting dir present; old
+    # postings stay live so the log must survive recovery and fold in
+    # the subsequent compact
+    ivf_delete(spark, path, emb.filter("vec_id = 7").select("vec_id"))
+    shutil.copytree(f"{path}/postings", f"{path}/postings_compacting")
+    open(f"{path}/tombstones_folded", "w").close()
+    ivf_compact(spark, path)
+    live = {r["vec_id"]
+            for r in read_postings(spark, path).select("vec_id").collect()}
+    assert 7 not in live and 5 in live
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert not os.path.exists(f"{path}/tombstones_folded")
+
+
 def test_compact_rejects_remote_paths(spark):
     with pytest.raises(ValueError, match="local"):
         ivf_compact(spark, "s3://bucket/idx")

@@ -178,3 +178,47 @@ def test_stream_ingest_composed_index_encodes(spark, emb, tmp_path):
     res = ivf_pq_probe(spark, path, emb.filter("vec_id < 8"),
                        k=5, nprobe=8, rerank=64)
     assert res.count() == 40
+
+
+def test_marker_gc_ignores_stray_files(spark, emb, tmp_path):
+    """A stray non-numeric 'batch-*' file in the marker dir must not
+    break marker GC (it used to ValueError and permanently fail every
+    subsequent micro-batch)."""
+    import os
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb.filter("vec_id < 300"), 8, path)
+    markers = tmp_path / "markers"
+    markers.mkdir()
+    (markers / "batch-README.tmp").write_text("stray")
+    (markers / "batch-1").write_text("")
+    handle = _ann_ingest_handler(path, "vec_id", "embedding", None,
+                                 marker_dir=str(markers), is_pq=False)
+    handle(emb.filter("vec_id >= 300"), 5)   # must not raise
+    assert os.path.exists(str(markers / "batch-README.tmp"))  # skipped
+    assert not os.path.exists(str(markers / "batch-1"))       # GC'd
+    assert os.path.exists(str(markers / "batch-5"))
+
+
+def test_within_batch_duplicate_ids_pick_deterministic_survivor(
+        spark, emb, tmp_path):
+    """Duplicate ids inside one micro-batch must keep the SAME payload
+    regardless of row order (min payload hash), so a replay after a
+    partially committed append can never re-assign the id to a
+    different bucket and duplicate it."""
+    a = emb.filter("vec_id >= 300")
+    # second copy of every id with a different (reversed) embedding
+    b = a.withColumn("embedding", F.reverse("embedding"))
+    dup_fwd = a.unionByName(b)
+    dup_rev = b.unionByName(a)
+
+    pairs = []
+    for i, batch in enumerate((dup_fwd, dup_rev)):
+        path = str(tmp_path / f"idx{i}")
+        ivf_build(emb.filter("vec_id < 300"), 8, path)
+        handle = _ann_ingest_handler(
+            path, "vec_id", "embedding", None,
+            marker_dir=str(tmp_path / f"markers{i}"), is_pq=False)
+        handle(batch, 0)
+        pairs.append(_pairs(spark, path))
+    assert pairs[0] == pairs[1]
