@@ -1314,6 +1314,78 @@ WHERE rank <= 6
 """
 
 
+def _q_knn_graph_tpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE k-NN graph via random-projection-tree leaves — the
+    reference's actual O(N * leaf * trees) graph build
+    (NeighborhoodGraph.h:328-442) vs knn_graph's exact O(N^2) twin.
+    Deterministic (md5-seeded projections, median splits, exact int
+    arithmetic), so DuckDB replays the identical forest."""
+    from sptag_spark.operators.graph import build_knn_graph_tpt
+
+    return build_knn_graph_tpt(
+        _embeddings(spark, sf_dir), k=6, trees=8, depth=3
+    )
+
+
+def _knn_graph_tpt_oracle(
+    k: int = 6, trees: int = 8, depth: int = 3, dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Relational replay of build_knn_graph_tpt: same literal weights
+    (graph._tpt_weights), same median splits (2*rank > count), same
+    exact quantized cosine, same cross-tree dedup + per-src rank."""
+    from sptag_spark.operators.graph import _tpt_weights
+
+    W = _tpt_weights(trees, depth, dim, seed)
+
+    def wlit(ws):
+        return "[" + ",".join(str(w) for w in ws) + "]"
+
+    tree_selects = "\n  UNION ALL ".join(
+        f"SELECT vec_id, q, nrm, {t} AS tree, 0 AS node,\n    "
+        + ",\n    ".join(
+            "list_sum(list_transform(range(1, len(q)+1), "
+            f"i -> q[i] * ({wlit(W[t][lv])})[i])) AS p{lv}"
+            for lv in range(depth)
+        )
+        + "\n  FROM n"
+        for t in range(trees)
+    )
+    sql = """
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+""" + f"l0 AS (\n  {tree_selects})"
+    for lv in range(depth):
+        keep_ps = ", ".join(f"p{j}" for j in range(lv + 1, depth))
+        keep_ps = (", " + keep_ps) if keep_ps else ""
+        sql += f""",
+l{lv + 1} AS (SELECT vec_id, q, nrm, tree,
+  node*2 + (CASE WHEN 2*row_number() OVER (PARTITION BY tree, node
+      ORDER BY p{lv}, vec_id) > count(*) OVER (PARTITION BY tree, node)
+    THEN 1 ELSE 0 END) AS node{keep_ps}
+  FROM l{lv})"""
+    sql += f""",
+leafp AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]))
+      AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+      AS cosine
+  FROM l{depth} a JOIN l{depth} b
+    ON a.tree = b.tree AND a.node = b.node AND a.vec_id <> b.vec_id),
+ded AS (SELECT src, dst, max(cosine) AS cosine FROM leafp GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT src, dst, cosine,
+         CAST(row_number() OVER (PARTITION BY src
+              ORDER BY cosine DESC, dst) AS INT) AS rank
+  FROM ded)
+WHERE rank <= {k}
+"""
+    return sql
+
+
 def _q_source_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation over the zipf-skewed source column
     (north rule: explicit salting for hot doc_id/source keys). The salt
@@ -1620,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply_anti": _q_dedup_apply,
         "rank_join_multi_index": _q_rank_join,
         "knn_graph": _q_knn_graph,
+        "knn_graph_tpt": _q_knn_graph_tpt,
         "json_extract_agg": _q_json_extract,
         "source_stats_salted": _q_source_stats_salted,
         "corpus_stats_rollup": _q_corpus_rollup,
@@ -1670,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply_anti": _dedup_apply_oracle(12, 4, 0.5),
         "rank_join_multi_index": _RANK_JOIN_ORACLE,
         "knn_graph": _KNN_GRAPH_ORACLE,
+        "knn_graph_tpt": _knn_graph_tpt_oracle(),
         "json_extract_agg": _JSON_EXTRACT_ORACLE,
         "source_stats_salted": _SOURCE_STATS_SALTED_ORACLE,
         "corpus_stats_rollup": _CORPUS_ROLLUP_ORACLE,

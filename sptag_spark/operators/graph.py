@@ -26,6 +26,8 @@ float64) so results are reproducible everywhere.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -33,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -135,6 +138,330 @@ def build_knn_graph(
         candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("src", "dst", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _tpt_weights(
+    trees: int, depth: int, dim: int, seed: int = 42
+) -> list[list[list[int]]]:
+    """Deterministic md5-derived projection weights in [-1000, 1000],
+    one dim-length vector per (tree, level) — shared literals between
+    the Spark plan and the SQL oracle (the same engine-neutral trick as
+    dedup._mh_params). The reference draws its split directions from
+    top-variance dims + random coefficients (NeighborhoodGraph.h:
+    246-306); md5 seeding replaces the RNG so every engine replays the
+    identical forest."""
+    import hashlib
+
+    return [
+        [
+            [
+                int.from_bytes(
+                    hashlib.md5(
+                        f"tpt|{seed}|{t}|{lv}|{i}".encode()
+                    ).digest()[:4],
+                    "big",
+                ) % 2001 - 1000
+                for i in range(dim)
+            ]
+            for lv in range(depth)
+        ]
+        for t in range(trees)
+    ]
+
+
+def _np_descend(pos, ids, P, lv, depth, node, out):
+    """Finish the median-split descent locally: EXACTLY the window
+    semantics — within a node, rank by (projection, id) ascending and
+    send ranks with 2*rank > count right (ranks 1..n//2 left). lexsort
+    keyed on (projection, REAL id) gives the identical ordering; the
+    recursion writes each row's final leaf id into out[pos]."""
+    if lv == depth:
+        out[pos] = node
+        return
+    n = len(pos)
+    order = np.lexsort((ids, P[:, lv]))
+    half = n // 2
+    left, right = order[:half], order[half:]
+    _np_descend(pos[left], ids[left], P[left], lv + 1, depth,
+                node * 2, out)
+    _np_descend(pos[right], ids[right], P[right], lv + 1, depth,
+                node * 2 + 1, out)
+
+
+def _tpt_stage(
+    df: DataFrame,
+    trees: int,
+    depth: int,
+    id_col: str,
+    vec_col: str,
+    seed: int,
+    local_chunk: int,
+    n_rows: int | None = None,
+):
+    """Shared TPT pipeline front: BLAS projections + the first
+    `window_levels` median splits as window stages, leaving nodes of
+    <= local_chunk rows for a grouped Arrow kernel to finish.
+
+    Returns (staged_df, window_levels): staged_df is NARROW —
+    (_id, tree, node, _pw remaining-projections array). The embedding
+    NEVER rides a window shuffle (a 64-dim float vector is ~10x the
+    row's routing payload; carrying it through log2(N/chunk) exchanges
+    made shuffle I/O the non-scaling bottleneck — measured 0.38 N->4N
+    at 1M rows before this split). Vectors join back by id exactly
+    once, after the leaf is known.
+
+    The T*depth exact projections are ONE (n, dim) x (dim, T*depth)
+    integer BLAS matmul per Arrow batch (the JVM expression form
+    re-inlined quantize into every interpreted aggregate — 21
+    evaluations/row); each window level drops its consumed projection
+    column, so rows narrow as they descend."""
+    import pyarrow as pa
+
+    from sptag_spark.functions.vecarrow import (
+        exact_int_matmul,
+        list_to_matrix,
+        np_quantize,
+    )
+
+    dim = len(df.select(vec_col).first()[0])
+    W = _tpt_weights(trees, depth, dim, seed)
+    # (dim, trees*depth) weight matrix, column t*depth+lv
+    Wmat = np.array(
+        [W[t][lv] for t in range(trees) for lv in range(depth)],
+        dtype=np.int64,
+    ).T
+    if n_rows is None:
+        n_rows = df.count()
+    window_levels = min(
+        depth, max(0, math.ceil(math.log2(max(n_rows, 1) / local_chunk)))
+    ) if n_rows > local_chunk else 0
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    pcols = [f"_p_{t}_{lv}" for t in range(trees) for lv in range(depth)]
+    out_ddl = f"_id {id_type}, " + ", ".join(f"{c} long" for c in pcols)
+
+    def proj_kernel(batches):
+        for batch in batches:
+            X = np_quantize(list_to_matrix(batch.column("_v"), np.float64))
+            if len(X) == 0 or X.shape[1] == 0:
+                P = np.zeros((batch.num_rows, Wmat.shape[1]), np.int64)
+            else:
+                P = exact_int_matmul(X, Wmat)
+            yield pa.record_batch(
+                [batch.column("_id")]
+                + [pa.array(P[:, j], pa.int64())
+                   for j in range(Wmat.shape[1])],
+                names=["_id"] + pcols,
+            )
+
+    src = df.select(F.col(id_col).alias("_id"),
+                    F.col(vec_col).alias("_v"))
+    projs = src.mapInArrow(proj_kernel, schema=out_ddl)
+    cur = projs.select(
+        "_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("tree"),
+                *[F.col(f"_p_{t}_{lv}").alias(f"_p{lv}")
+                  for lv in range(depth)],
+            )
+            for t in range(trees)
+        ])).alias("_t"),
+    ).select(
+        "_id", "_t.tree", *[f"_t._p{lv}" for lv in range(depth)]
+    ).withColumn("node", F.lit(0))
+    for lv in range(window_levels):
+        wp = Window.partitionBy("tree", "node")
+        wo = wp.orderBy(F.col(f"_p{lv}").asc(), F.col("_id").asc())
+        cur = (
+            cur.withColumn("_rn", F.row_number().over(wo))
+            .withColumn("_cnt", F.count(F.lit(1)).over(wp))
+            .withColumn(
+                "node",
+                F.col("node") * 2
+                + (F.col("_rn") * 2 > F.col("_cnt")).cast("int"),
+            )
+            .drop("_rn", "_cnt", f"_p{lv}")
+        )
+    rest = [f"_p{lv}" for lv in range(window_levels, depth)]
+    staged = cur.select(
+        "_id", "tree", "node",
+        F.array(*rest).alias("_pw") if rest
+        else F.array().cast("array<long>").alias("_pw"),
+    )
+    return staged, window_levels
+
+
+def tpt_leaf_assign(
+    df: DataFrame,
+    trees: int = 3,
+    depth: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    local_chunk: int = 131_072,
+) -> DataFrame:
+    """(_id, tree, leaf): balanced random-projection-tree leaves, one
+    per tree — the reference's TPT partition step (TruthSet/TPTree
+    splits, NeighborhoodGraph.h:178-326) restated as depth median
+    splits.
+
+    Level lv splits every node at its median projection: rank rows
+    within (tree, node) by (projection, id) and send the upper half
+    right (2*rank > count). Median splits make the trees PERFECTLY
+    balanced — every leaf holds N/2^depth ± 1 rows, so per-leaf
+    all-pairs work is bounded by construction (the reference caps leaf
+    size the same way, m_iTPTLeafSize). Only the levels with nodes
+    bigger than `local_chunk` run as window exchanges; the rest of the
+    descent happens inside a grouped Arrow kernel with identical
+    (lexsort) semantics — see _tpt_stage."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    staged, wl = _tpt_stage(df, trees, depth, id_col, vec_col, seed,
+                            local_chunk)
+    rem = depth - wl
+    out_schema = StructType([
+        StructField("_id", df.schema[id_col].dataType),
+        StructField("tree", IntegerType()),
+        StructField("leaf", IntegerType()),
+    ])
+    arrow_out = to_arrow_schema(out_schema)
+
+    def finish(tbl: "pa.Table") -> "pa.Table":
+        n = tbl.num_rows
+        if n == 0:
+            return arrow_out.empty_table()
+        tree = tbl.column("tree")[0].as_py()
+        node = tbl.column("node")[0].as_py()
+        ids = tbl.column("_id").to_numpy(zero_copy_only=False)
+        if rem:
+            from sptag_spark.functions.vecarrow import list_to_matrix
+
+            P = list_to_matrix(tbl.column("_pw"), np.int64)
+            leaf = np.empty(n, dtype=np.int64)
+            _np_descend(np.arange(n), ids, P, 0, rem, node, leaf)
+        else:
+            leaf = np.full(n, node, dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids),
+             pa.array(np.full(n, tree, np.int32), pa.int32()),
+             pa.array(leaf.astype(np.int32), pa.int32())],
+            schema=arrow_out,
+        )
+
+    return staged.groupBy("tree", "node").applyInArrow(
+        finish, schema=out_schema
+    ).select("_id", "tree", F.col("leaf").cast("int").alias("leaf"))
+
+
+def build_knn_graph_tpt(
+    df: DataFrame,
+    k: int = 8,
+    trees: int = 3,
+    depth: int | None = None,
+    leaf_size: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(src, dst, cosine, rank) — APPROXIMATE top-k neighbors per row
+    via per-leaf all-pairs over `trees` random-projection trees — the
+    reference's actual graph-build algorithm (NeighborhoodGraph.h:
+    328-442: all-pairs only within <=leaf_size TPT leaves, unioned over
+    m_iTPTNumber trees, then per-src top-k), vs build_knn_graph's exact
+    O(N^2)-compute baseline.
+
+    Total compute is O(N * leaf_size * trees * dim) — linear in N for
+    fixed leaf size — and each leaf's matmul is bounded at
+    leaf_size^2 * 8 bytes, so the build survives a 100x scale-up where
+    the exact build cannot. Recall comes from tree diversity (distinct
+    md5-seeded projections per tree); the exact path remains the
+    correctness oracle twin, as in the dedup family.
+
+    Deterministic end-to-end (md5 weights, median splits with id
+    tiebreaks, exact integer arithmetic), so a SQL oracle replays it
+    bit-identically. `depth` defaults to log2(count/leaf_size).
+
+    Plan shape (the 100x story): one corpus scan -> Arrow BLAS
+    projections -> log2(N/chunk) NARROW window exchanges + a narrow
+    descent kernel (the embedding never rides a window — routing rows
+    are ~10x smaller) -> one id join puts vectors on leaf-assigned
+    rows -> per-(tree, leaf) kernel groups (N/leaf_size * trees of
+    them — thousands-way parallel, one bounded matmul each) -> one
+    hash(src) exchange serving both the cross-tree dedup and the
+    ranking window."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from sptag_spark.functions.vecarrow import (
+        exact_int_matmul as _eim,
+        list_to_matrix,
+        np_quantize,
+    )
+    from sptag_spark.session import shuffle_parts
+
+    n_rows = df.count()
+    if depth is None:
+        depth = max(1, math.ceil(math.log2(max(n_rows, 2) / leaf_size)))
+    assign = tpt_leaf_assign(df, trees, depth, id_col, vec_col, seed)
+    enriched = assign.join(
+        df.select(F.col(id_col).alias("_id"),
+                  F.col(vec_col).alias("_v")),
+        "_id",
+    )
+
+    out_schema = StructType([
+        StructField("src", df.schema[id_col].dataType),
+        StructField("dst", df.schema[id_col].dataType),
+        StructField("cosine", DoubleType()),
+    ])
+    arrow_out = to_arrow_schema(out_schema)
+
+    def leaf_topk(tbl: "pa.Table") -> "pa.Table":
+        n = tbl.num_rows
+        if n < 2:
+            return arrow_out.empty_table()
+        ids_raw = tbl.column("_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
+        X = np_quantize(
+            list_to_matrix(tbl.column("_v"), np.float64))[order]
+        nrm = np.sqrt((X * X).sum(axis=1).astype(np.float64))
+        cos = _eim(X, X.T) / (nrm[:, None] * nrm[None, :])
+        np.fill_diagonal(cos, -np.inf)
+        # ties at the k-th boundary are INCLUDED (argpartition alone
+        # could drop a tied true neighbor; the global window breaks
+        # ties on dst exactly) — same contract as build_knn_graph.emit
+        kk = min(k, n)
+        kth = -np.partition(-cos, kk - 1, axis=1)[:, kk - 1]
+        rows, cols = np.where((cos >= kth[:, None]) & np.isfinite(cos))
+        return pa.Table.from_arrays(
+            [pa.array(ids[rows]), pa.array(ids[cols]),
+             pa.array(cos[rows, cols])],
+            schema=arrow_out,
+        )
+
+    candidates = enriched.groupBy("tree", "leaf").applyInArrow(
+        leaf_topk, schema=out_schema
+    )
+    # one exchange serves both the cross-tree dedup AND the per-src
+    # window: hash(src) clusters (src, dst) groups too (CLAUDE.md rule
+    # 17 — subset clustering). max(cosine) is a no-op merge: the exact
+    # cosine is identical in every tree that scored the pair.
+    deduped = (
+        candidates.repartition(shuffle_parts(df.sparkSession), "src")
+        .groupBy("src", "dst")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    return (
+        deduped.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cosine",
+                F.col("rank").cast("int").alias("rank"))
     )
 
 

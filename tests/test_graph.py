@@ -153,3 +153,68 @@ def test_rebalance_indegree_caps_hubs(spark):
 
     assert dispersion(new_indeg) < dispersion(naive_indeg)
     cand.unpersist()
+
+
+def test_tpt_leaves_balanced_and_complete(emb):
+    """Median splits make every tree perfectly balanced: trees * 2^depth
+    leaves, sizes within +-1 of N/2^depth, and every vector appears in
+    exactly one leaf per tree (the bounded-work guarantee that lets the
+    build survive a 100x scale-up)."""
+    from sptag_spark.operators.graph import tpt_leaf_assign
+
+    trees, depth = 3, 3
+    n = emb.count()
+    assign = tpt_leaf_assign(emb, trees=trees, depth=depth)
+    rows = assign.collect()
+    assert len(rows) == trees * n
+    sizes = {}
+    for r in rows:
+        sizes[(r["tree"], r["leaf"])] = sizes.get((r["tree"], r["leaf"]), 0) + 1
+    assert len(sizes) == trees * (1 << depth)
+    lo, hi = n // (1 << depth), -(-n // (1 << depth))
+    assert all(lo <= s <= hi for s in sizes.values()), sorted(set(sizes.values()))
+    per_tree = {}
+    for (t, _), s in sizes.items():
+        per_tree[t] = per_tree.get(t, 0) + s
+    assert all(v == n for v in per_tree.values())
+
+
+def test_tpt_graph_recall_and_edge_exactness(emb, oracle):
+    """The approximate TPT graph must (a) reach >= 0.8 recall vs the
+    exact graph at 8 trees / depth 3 on this corpus (deterministic, not
+    a statistic), (b) emit only edges whose cosine is the TRUE exact
+    cosine (approximation may MISS edges, never mis-score them), and
+    (c) be deterministic across runs."""
+    from sptag_spark.operators.graph import build_knn_graph_tpt
+
+    tpt = build_knn_graph_tpt(emb, k=K, trees=8, depth=3)
+    got = [(r["src"], r["dst"], r["cosine"], r["rank"]) for r in tpt.collect()]
+    exact_cos = {(s, d): c for s, lst in oracle.items() for d, c in lst}
+    exact_edges = set(exact_cos)
+    tpt_edges = {(s, d) for s, d, _, _ in got}
+    recall = len(tpt_edges & exact_edges) / len(exact_edges)
+    assert recall >= 0.8, recall
+    # every emitted overlapping edge carries the bit-exact cosine
+    for s, d, c, _ in got:
+        if (s, d) in exact_cos:
+            assert c == exact_cos[(s, d)], (s, d)
+    # per-src ranks are 1..deg contiguous, at most k
+    by_src = {}
+    for s, d, c, r in got:
+        by_src.setdefault(s, []).append(r)
+    for s, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= K
+    # determinism
+    again = [(r["src"], r["dst"], r["cosine"], r["rank"])
+             for r in build_knn_graph_tpt(emb, k=K, trees=8, depth=3).collect()]
+    assert sorted(got) == sorted(again)
+
+
+def test_tpt_default_depth_from_leaf_size(emb):
+    """depth=None derives log2(N/leaf_size); with leaf_size >= N the
+    forest degenerates to a single split level (depth 1)."""
+    from sptag_spark.operators.graph import build_knn_graph_tpt
+
+    out = build_knn_graph_tpt(emb, k=3, trees=2, leaf_size=2 * emb.count())
+    assert out.count() > 0
