@@ -15,7 +15,12 @@ Spark restatement:
   top-k is always inside the union of per-block top-k (every true
   neighbor lives in exactly one block) — then ONE window takes the
   global top-k per source. Shuffle volume is O(N * k * n_blocks), never
-  O(N^2).
+  O(N^2) — but COMPUTE is still O(N^2 * dim): this is the correctness
+  baseline / oracle twin.
+- build_knn_graph_tpt: the reference's actual build — per-leaf
+  all-pairs over `trees` random-projection trees with balanced median
+  splits; O(N * leaf_size * trees * dim) compute, the 100-TB path.
+  Deterministic (md5-seeded projections), hence SQL-oracle-checkable.
 - rng_prune: grouped vectorized pass per source row over its (tiny,
   <= k) candidate list — numpy inside applyInPandas, no per-row Python
   at the Spark API.
