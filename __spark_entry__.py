@@ -1332,8 +1332,11 @@ def _knn_graph_tpt_oracle(
     seed: int = 42,
 ) -> str:
     """Relational replay of build_knn_graph_tpt: same literal weights
-    (graph._tpt_weights), same median splits (2*rank > count), same
-    exact quantized cosine, same cross-tree dedup + per-src rank."""
+    (graph._tpt_weights), same mean splits — row goes right iff
+    p > floor(mean(p) over the node), expressed overflow-free at this
+    scale as the integer multiply form p * count > sum (equivalent for
+    integers) — same exact quantized cosine, same cross-tree dedup +
+    per-src rank."""
     from sptag_spark.operators.graph import _tpt_weights
 
     W = _tpt_weights(trees, depth, dim, seed)
@@ -1363,8 +1366,8 @@ n AS (SELECT vec_id, q,
         keep_ps = (", " + keep_ps) if keep_ps else ""
         sql += f""",
 l{lv + 1} AS (SELECT vec_id, q, nrm, tree,
-  node*2 + (CASE WHEN 2*row_number() OVER (PARTITION BY tree, node
-      ORDER BY p{lv}, vec_id) > count(*) OVER (PARTITION BY tree, node)
+  node*2 + (CASE WHEN p{lv} * (count(*) OVER (PARTITION BY tree, node))
+      > (sum(p{lv}) OVER (PARTITION BY tree, node))
     THEN 1 ELSE 0 END) AS node{keep_ps}
   FROM l{lv})"""
     sql += f""",

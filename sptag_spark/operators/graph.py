@@ -18,9 +18,10 @@ Spark restatement:
   O(N^2) — but COMPUTE is still O(N^2 * dim): this is the correctness
   baseline / oracle twin.
 - build_knn_graph_tpt: the reference's actual build — per-leaf
-  all-pairs over `trees` random-projection trees with balanced median
-  splits; O(N * leaf_size * trees * dim) compute, the 100-TB path.
-  Deterministic (md5-seeded projections), hence SQL-oracle-checkable.
+  all-pairs over `trees` random-projection trees with mean splits (the
+  TPTree pivot rule); O(N * leaf_size * trees * dim) compute, the
+  100-TB path. Deterministic (md5-seeded projections, exact integer
+  mean splits), hence SQL-oracle-checkable.
 - rng_prune: grouped vectorized pass per source row over its (tiny,
   <= k) candidate list — numpy inside applyInPandas, no per-row Python
   at the Spark API.
@@ -175,23 +176,21 @@ def _tpt_weights(
     ]
 
 
-def _np_descend(pos, ids, P, lv, depth, node, out):
-    """Finish the median-split descent locally: EXACTLY the window
-    semantics — within a node, rank by (projection, id) ascending and
-    send ranks with 2*rank > count right (ranks 1..n//2 left). lexsort
-    keyed on (projection, REAL id) gives the identical ordering; the
-    recursion writes each row's final leaf id into out[pos]."""
-    if lv == depth:
+def _np_descend(pos, P, lv, depth, node, out):
+    """Finish the mean-split descent locally: EXACTLY the distributed
+    rule — a row goes right iff its projection exceeds the node's
+    integer-floored mean projection (p > floor(sum/count); Python ints,
+    so the floor is exact at any magnitude). Writes each row's final
+    leaf id into out[pos]."""
+    if lv == depth or len(pos) == 0:
         out[pos] = node
         return
-    n = len(pos)
-    order = np.lexsort((ids, P[:, lv]))
-    half = n // 2
-    left, right = order[:half], order[half:]
-    _np_descend(pos[left], ids[left], P[left], lv + 1, depth,
-                node * 2, out)
-    _np_descend(pos[right], ids[right], P[right], lv + 1, depth,
-                node * 2 + 1, out)
+    p = P[:, lv]
+    m = int(p.sum(dtype=np.int64)) // len(p)
+    right = p > m
+    left = ~right
+    _np_descend(pos[left], P[left], lv + 1, depth, node * 2, out)
+    _np_descend(pos[right], P[right], lv + 1, depth, node * 2 + 1, out)
 
 
 def _tpt_stage(
@@ -203,23 +202,35 @@ def _tpt_stage(
     seed: int,
     local_chunk: int,
     n_rows: int | None = None,
+    dim: int | None = None,
 ):
     """Shared TPT pipeline front: BLAS projections + the first
-    `window_levels` median splits as window stages, leaving nodes of
-    <= local_chunk rows for a grouped Arrow kernel to finish.
+    `global_levels` MEAN splits as broadcast-stats rounds, leaving
+    nodes of <= local_chunk rows for a grouped Arrow kernel to finish.
 
-    Returns (staged_df, window_levels): staged_df is NARROW —
-    (_id, tree, node, _pw remaining-projections array). The embedding
-    NEVER rides a window shuffle (a 64-dim float vector is ~10x the
-    row's routing payload; carrying it through log2(N/chunk) exchanges
-    made shuffle I/O the non-scaling bottleneck — measured 0.38 N->4N
-    at 1M rows before this split). Vectors join back by id exactly
-    once, after the leaf is known.
+    Returns (staged_df, global_levels): staged_df is NARROW —
+    (_id, tree, node, _pw remaining-projections array).
+
+    Two measured scale lessons are baked into this shape:
+    (1) the embedding NEVER rides a routing shuffle (a 64-dim float
+    vector is ~10x the routing payload; carrying it through the split
+    stages measured 0.38 N->4N at 1M rows); vectors join back by id
+    exactly once, after the leaf is known.
+    (2) splits are at the node MEAN (the reference TPTree pivot,
+    NeighborhoodGraph.h:246-326), NOT the median-rank: a rank needs a
+    per-node sort, and a window over (tree, node) at the early levels
+    has only trees*2^lv distinct keys — the level-0 sort ran as ONE
+    task per tree regardless of cluster size (measured: 3 tasks
+    holding 63 core-seconds at 8 cores). The mean needs only a tiny
+    map-side-combinable aggregate broadcast back — zero data movement
+    per level at ANY node size, the difference between a plan that
+    parallelizes at 100 TB and one that bottlenecks on log2(N) giant
+    sorts.
 
     The T*depth exact projections are ONE (n, dim) x (dim, T*depth)
     integer BLAS matmul per Arrow batch (the JVM expression form
     re-inlined quantize into every interpreted aggregate — 21
-    evaluations/row); each window level drops its consumed projection
+    evaluations/row); each split level drops its consumed projection
     column, so rows narrow as they descend."""
     import pyarrow as pa
 
@@ -229,7 +240,8 @@ def _tpt_stage(
         np_quantize,
     )
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     W = _tpt_weights(trees, depth, dim, seed)
     # (dim, trees*depth) weight matrix, column t*depth+lv
     Wmat = np.array(
@@ -276,18 +288,33 @@ def _tpt_stage(
     ).select(
         "_id", "_t.tree", *[f"_t._p{lv}" for lv in range(depth)]
     ).withColumn("node", F.lit(0))
+    if window_levels:
+        cur = cur.persist()
     for lv in range(window_levels):
-        wp = Window.partitionBy("tree", "node")
-        wo = wp.orderBy(F.col(f"_p{lv}").asc(), F.col("_id").asc())
+        # mean split, zero data shuffle: the per-node stats are a tiny
+        # map-side-combinable aggregate (<= trees * 2^lv rows) joined
+        # back as a BROADCAST — the big side keeps its partitioning.
+        # The exact integer floor(mean) uses pmod, never float division
+        # (psum - pmod(psum, cnt) is divisible by cnt, and div is then
+        # exact at any magnitude); row goes right iff p > floor(mean),
+        # which equals the oracle's multiply form p * cnt > psum.
+        stats = (
+            cur.groupBy("tree", "node")
+            .agg(F.sum(F.col(f"_p{lv}")).alias("_ps"),
+                 F.count(F.lit(1)).alias("_pc"))
+            .withColumn(
+                "_m",
+                F.expr("(_ps - pmod(_ps, _pc)) div _pc"))
+            .select("tree", "node", "_m")
+        )
         cur = (
-            cur.withColumn("_rn", F.row_number().over(wo))
-            .withColumn("_cnt", F.count(F.lit(1)).over(wp))
+            cur.join(F.broadcast(stats), ["tree", "node"])
             .withColumn(
                 "node",
                 F.col("node") * 2
-                + (F.col("_rn") * 2 > F.col("_cnt")).cast("int"),
+                + (F.col(f"_p{lv}") > F.col("_m")).cast("int"),
             )
-            .drop("_rn", "_cnt", f"_p{lv}")
+            .drop("_m", f"_p{lv}")
         )
     rest = [f"_p{lv}" for lv in range(window_levels, depth)]
     staged = cur.select(
@@ -309,26 +336,33 @@ def tpt_leaf_assign(
 ) -> DataFrame:
     """(_id, tree, leaf): balanced random-projection-tree leaves, one
     per tree — the reference's TPT partition step (TruthSet/TPTree
-    splits, NeighborhoodGraph.h:178-326) restated as depth median
+    splits, NeighborhoodGraph.h:178-326) restated as depth MEAN
     splits.
 
-    Level lv splits every node at its median projection: rank rows
-    within (tree, node) by (projection, id) and send the upper half
-    right (2*rank > count). Median splits make the trees PERFECTLY
-    balanced — every leaf holds N/2^depth ± 1 rows, so per-leaf
-    all-pairs work is bounded by construction (the reference caps leaf
-    size the same way, m_iTPTLeafSize). Only the levels with nodes
-    bigger than `local_chunk` run as window exchanges; the rest of the
-    descent happens inside a grouped Arrow kernel with identical
-    (lexsort) semantics — see _tpt_stage."""
+    Level lv splits every node at its mean projection: a row goes
+    right iff p > floor(mean(p) over the node) — exact integer
+    arithmetic, so both engines replay it bit-identically. Mean splits
+    keep trees near-balanced on real data (random projections of
+    clustered vectors are ~symmetric); a node whose projections are
+    all identical stops splitting (oversized leaf — the leaf kernel
+    row-chunks its matmul so memory stays bounded either way). Only
+    the levels with nodes bigger than `local_chunk` run as
+    broadcast-stats rounds; the rest of the descent happens inside a
+    grouped Arrow kernel with the identical rule — see _tpt_stage."""
+    staged, wl = _tpt_stage(df, trees, depth, id_col, vec_col, seed,
+                            local_chunk)
+    return _finish_assign(staged, depth - wl, df.schema[id_col].dataType)
+
+
+def _finish_assign(staged: DataFrame, rem: int, id_dtype) -> DataFrame:
+    """Grouped Arrow kernel finishing the last `rem` descent levels
+    locally (identical mean-split rule to the global rounds) over the
+    narrow staged rows; returns (_id, tree, leaf)."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    staged, wl = _tpt_stage(df, trees, depth, id_col, vec_col, seed,
-                            local_chunk)
-    rem = depth - wl
     out_schema = StructType([
-        StructField("_id", df.schema[id_col].dataType),
+        StructField("_id", id_dtype),
         StructField("tree", IntegerType()),
         StructField("leaf", IntegerType()),
     ])
@@ -346,7 +380,7 @@ def tpt_leaf_assign(
 
             P = list_to_matrix(tbl.column("_pw"), np.int64)
             leaf = np.empty(n, dtype=np.int64)
-            _np_descend(np.arange(n), ids, P, 0, rem, node, leaf)
+            _np_descend(np.arange(n), P, 0, rem, node, leaf)
         else:
             leaf = np.full(n, node, dtype=np.int64)
         return pa.Table.from_arrays(
@@ -385,18 +419,18 @@ def build_knn_graph_tpt(
     md5-seeded projections per tree); the exact path remains the
     correctness oracle twin, as in the dedup family.
 
-    Deterministic end-to-end (md5 weights, median splits with id
-    tiebreaks, exact integer arithmetic), so a SQL oracle replays it
-    bit-identically. `depth` defaults to log2(count/leaf_size).
+    Deterministic end-to-end (md5 weights, exact integer mean splits),
+    so a SQL oracle replays it bit-identically. `depth` defaults to
+    log2(count/leaf_size).
 
     Plan shape (the 100x story): one corpus scan -> Arrow BLAS
-    projections -> log2(N/chunk) NARROW window exchanges + a narrow
-    descent kernel (the embedding never rides a window — routing rows
-    are ~10x smaller) -> one id join puts vectors on leaf-assigned
-    rows -> per-(tree, leaf) kernel groups (N/leaf_size * trees of
-    them — thousands-way parallel, one bounded matmul each) -> one
-    hash(src) exchange serving both the cross-tree dedup and the
-    ranking window."""
+    projections -> log2(N/chunk) ZERO-SHUFFLE mean-split rounds (tiny
+    broadcast stats; see _tpt_stage for why not rank/median windows)
+    -> one narrow (tree, node) exchange + local descent -> one id join
+    puts vectors on leaf-assigned rows -> per-(tree, leaf) kernel
+    groups (N/leaf_size * trees of them — thousands-way parallel, one
+    row-chunked bounded matmul each) -> one hash(src) exchange serving
+    both the cross-tree dedup and the ranking window."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
     from sptag_spark.functions.vecarrow import (
@@ -406,13 +440,22 @@ def build_knn_graph_tpt(
     )
     from sptag_spark.session import shuffle_parts
 
-    n_rows = df.count()
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(F.col(vec_col))).alias("dim"),
+    ).first()
+    n_rows, dim = stats["n"], stats["dim"]
     if depth is None:
         depth = max(1, math.ceil(math.log2(max(n_rows, 2) / leaf_size)))
-    assign = tpt_leaf_assign(df, trees, depth, id_col, vec_col, seed)
+    staged, wl = _tpt_stage(df, trees, depth, id_col, vec_col, seed,
+                            131_072, n_rows=n_rows, dim=dim)
+    assign = _finish_assign(staged, depth - wl, df.schema[id_col].dataType)
+    # SHUFFLE_HASH: the vector side is the WIDE side — a sort-merge
+    # join would sort ~vec_bytes*N; hash-joining the narrow assignment
+    # against it skips both sorts (the join is 1:trees, never skewed)
     enriched = assign.join(
         df.select(F.col(id_col).alias("_id"),
-                  F.col(vec_col).alias("_v")),
+                  F.col(vec_col).alias("_v")).hint("shuffle_hash"),
         "_id",
     )
 
@@ -433,17 +476,31 @@ def build_knn_graph_tpt(
         X = np_quantize(
             list_to_matrix(tbl.column("_v"), np.float64))[order]
         nrm = np.sqrt((X * X).sum(axis=1).astype(np.float64))
-        cos = _eim(X, X.T) / (nrm[:, None] * nrm[None, :])
-        np.fill_diagonal(cos, -np.inf)
-        # ties at the k-th boundary are INCLUDED (argpartition alone
-        # could drop a tied true neighbor; the global window breaks
-        # ties on dst exactly) — same contract as build_knn_graph.emit
+        # row-chunked scoring: the cos block stays <= ~64 MB however
+        # big the leaf is (mean splits can leave an oversized leaf on
+        # degenerate data), and the chunk working set stays cache-
+        # resident on healthy leaves (CLAUDE.md rule 18)
+        cb = max(1, min(2048, (64 << 20) // max(8 * n, 1)))
+        out_s, out_d, out_c = [], [], []
         kk = min(k, n)
-        kth = -np.partition(-cos, kk - 1, axis=1)[:, kk - 1]
-        rows, cols = np.where((cos >= kth[:, None]) & np.isfinite(cos))
+        for c0 in range(0, n, cb):
+            c1 = min(c0 + cb, n)
+            cos = _eim(X[c0:c1], X.T) / (
+                nrm[c0:c1, None] * nrm[None, :])
+            cos[np.arange(c1 - c0), np.arange(c0, c1)] = -np.inf
+            # ties at the k-th boundary are INCLUDED (argpartition
+            # alone could drop a tied true neighbor; the global window
+            # breaks ties on dst exactly) — build_knn_graph.emit rule
+            kth = -np.partition(-cos, kk - 1, axis=1)[:, kk - 1]
+            rows, cols = np.where((cos >= kth[:, None])
+                                  & np.isfinite(cos))
+            out_s.append(ids[rows + c0])
+            out_d.append(ids[cols])
+            out_c.append(cos[rows, cols])
         return pa.Table.from_arrays(
-            [pa.array(ids[rows]), pa.array(ids[cols]),
-             pa.array(cos[rows, cols])],
+            [pa.array(np.concatenate(out_s)),
+             pa.array(np.concatenate(out_d)),
+             pa.array(np.concatenate(out_c))],
             schema=arrow_out,
         )
 

@@ -155,11 +155,13 @@ def test_rebalance_indegree_caps_hubs(spark):
     cand.unpersist()
 
 
-def test_tpt_leaves_balanced_and_complete(emb):
-    """Median splits make every tree perfectly balanced: trees * 2^depth
-    leaves, sizes within +-1 of N/2^depth, and every vector appears in
-    exactly one leaf per tree (the bounded-work guarantee that lets the
-    build survive a 100x scale-up)."""
+def test_tpt_leaves_near_balanced_and_complete(emb):
+    """Mean splits (the reference TPTree pivot) keep trees
+    NEAR-balanced on clustered data: every vector lands in exactly one
+    leaf per tree, leaf ids live in [0, 2^depth), and no leaf exceeds
+    2x the average (the bounded-work property that lets the build
+    survive a 100x scale-up; exact balance is not guaranteed — that
+    would need per-node rank sorts, which bottleneck at scale)."""
     from sptag_spark.operators.graph import tpt_leaf_assign
 
     trees, depth = 3, 3
@@ -169,14 +171,18 @@ def test_tpt_leaves_balanced_and_complete(emb):
     assert len(rows) == trees * n
     sizes = {}
     for r in rows:
+        assert 0 <= r["leaf"] < (1 << depth)
         sizes[(r["tree"], r["leaf"])] = sizes.get((r["tree"], r["leaf"]), 0) + 1
-    assert len(sizes) == trees * (1 << depth)
-    lo, hi = n // (1 << depth), -(-n // (1 << depth))
-    assert all(lo <= s <= hi for s in sizes.values()), sorted(set(sizes.values()))
+    avg = n / (1 << depth)
+    assert max(sizes.values()) <= 2 * avg, sorted(sizes.values())
     per_tree = {}
     for (t, _), s in sizes.items():
         per_tree[t] = per_tree.get(t, 0) + s
     assert all(v == n for v in per_tree.values())
+    # determinism of the assignment itself
+    again = sorted((r["_id"], r["tree"], r["leaf"]) for r in
+                   tpt_leaf_assign(emb, trees=trees, depth=depth).collect())
+    assert again == sorted((r["_id"], r["tree"], r["leaf"]) for r in rows)
 
 
 def test_tpt_graph_recall_and_edge_exactness(emb, oracle):
