@@ -923,6 +923,81 @@ WHERE rank <= 10
 """
 
 
+def _q_paged_topk_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relaxed-Monotonicity iterative scan (reference Q4 VBASE cursor:
+    ResultIterator.cpp:28-57 rents a workspace with p_maxCheck;
+    BKTIndex.cpp:431-434 flips m_relaxedMono). Build the flat IVF index,
+    then run the budgeted scan for one query: heads rank by exact
+    cosine, postings probe best-first until the 100-row budget, and each
+    result row flags relaxed_mono=1 once it sinks below the best
+    unprobed head's cosine. Deterministic end-to-end, so the oracle
+    replicates the head walk + budget + flag relationally."""
+    import tempfile
+
+    from sptag_spark.operators.knn import ivf_build, relaxed_mono_topk
+
+    emb = _embeddings(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sptag_ivfpaged_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ivf_build(emb, n_centroids=32, path=path)
+    qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    return relaxed_mono_topk(spark, path, list(qvec), k=50, max_check=100)
+
+
+# The budgeted cursor relationally: same head selection/assignment as
+# _IVF_ORACLE, then the best-first head walk with a cumulative posting-
+# row budget (probe while rows-before < 100), threshold = best unprobed
+# non-empty head's cosine, flag = cosine below threshold.
+_PAGED_BUDGET_ORACLE = f"""
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+cent AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm FROM (
+    SELECT vec_id, q, nrm FROM n
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32)),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT c.vec_id, ct.cid,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        {_COS.format(a='c', b='ct', bq='cq', bn='cnrm')} DESC, ct.cid) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn = 1),
+sizes AS (SELECT bucket, count(*) AS sz FROM assign GROUP BY bucket),
+qy AS (SELECT q, nrm FROM n WHERE vec_id = 0),
+heads AS (
+  SELECT ct.cid, {_COS.format(a='qy', b='ct', bq='cq', bn='cnrm')} AS hcos,
+         coalesce(s.sz, 0) AS sz
+  FROM cent ct CROSS JOIN qy LEFT JOIN sizes s ON s.bucket = ct.cid),
+walk AS (
+  SELECT cid, hcos, sz,
+         row_number() OVER (ORDER BY hcos DESC, cid) AS hrank,
+         coalesce(sum(sz) OVER (ORDER BY hcos DESC, cid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rows_before
+  FROM heads),
+thr AS (SELECT max(hcos) AS t FROM walk
+        WHERE NOT (hrank = 1 OR rows_before < 100) AND sz > 0),
+scored AS (
+  SELECT c.vec_id,
+    {_COS.format(a='c', b='qy', bq='q', bn='nrm')} AS cosine
+  FROM assign a
+  JOIN (SELECT cid FROM walk WHERE hrank = 1 OR rows_before < 100) p
+    ON a.bucket = p.cid
+  JOIN n c ON c.vec_id = a.vec_id
+  CROSS JOIN qy)
+SELECT vec_id, cosine, CAST(rank AS INT) AS rank,
+       CAST(CASE WHEN thr.t IS NOT NULL AND cosine < thr.t
+            THEN 1 ELSE 0 END AS INT) AS relaxed_mono
+FROM (SELECT vec_id, cosine,
+        row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored) CROSS JOIN thr
+WHERE rank <= 50
+"""
+
+
 def _q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN as one query (reference SearchIndexWithFilter,
     VectorIndex.h:59): metadata predicate pushed below the scoring join
@@ -1688,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_topk": _q_ivf_knn,
         "ivf_replica_topk": _q_ivf_replica,
         "filtered_knn_topk": _q_filtered_knn,
+        "paged_topk_budget": _q_paged_topk_budget,
         "lsh_near_dup": _q_lsh_near_dup,
         "pq_adc_topk": _q_pq_adc,
         "ivf_pq_adc_topk": _q_ivf_pq,
@@ -1739,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn_topk": _IVF_ORACLE,
         "ivf_replica_topk": _IVF_REPLICA_ORACLE,
         "filtered_knn_topk": _FILTERED_KNN_ORACLE,
+        "paged_topk_budget": _PAGED_BUDGET_ORACLE,
         "lsh_near_dup": _LSH_NEAR_DUP_ORACLE,
         "pq_adc_topk": _pq_adc_oracle(4, 16, 64, 10),
         "ivf_pq_adc_topk": _ivf_pq_oracle(),

@@ -2,7 +2,8 @@
 
     spark-submit --py-files sptag_spark.zip jobs/ann_index.py build \
         --in /data/embeddings.parquet --index /data/idx \
-        [--type ivf|ivf_pq] [--centroids 1024] [--m 8] [--k-codes 16]
+        [--type ivf|ivf_pq|bkt] [--centroids 1024] [--m 8] [--k-codes 16] \
+        [--branch 8] [--leaf-max 256]
     ... ann_index.py append  --in /data/new.parquet --index /data/idx
     ... ann_index.py delete  --keys /data/deleted.parquet --index /data/idx
     ... ann_index.py compact --index /data/idx [--max-posting-size N]
@@ -62,11 +63,14 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("build")
     b.add_argument("--in", dest="inp", required=True)
     b.add_argument("--index", required=True)
-    b.add_argument("--type", default="ivf_pq", choices=["ivf", "ivf_pq"])
+    b.add_argument("--type", default="ivf_pq",
+                   choices=["ivf", "ivf_pq", "bkt"])
     b.add_argument("--centroids", type=int, default=256)
     b.add_argument("--m", type=int, default=8)
     b.add_argument("--k-codes", type=int, default=16)
     b.add_argument("--replica-count", type=int, default=1)
+    b.add_argument("--branch", type=int, default=8)
+    b.add_argument("--leaf-max", type=int, default=256)
 
     a = sub.add_parser("append")
     a.add_argument("--in", dest="inp", required=True)
@@ -135,6 +139,17 @@ def main(argv: list[str] | None = None) -> int:
         except AnalysisException:
             return False
 
+    def _is_bkt(path: str) -> bool:
+        return knn.read_index_meta(spark, path).get("index_type") == "bkt"
+
+    if args.cmd in ("append", "compact", "split", "merge", "reassign",
+                    "ingest") and _is_bkt(args.index):
+        print(json.dumps({"error": f"{args.cmd} operates on the flat "
+                          "head table; rebuild is the bkt maintenance "
+                          "path (delete/search work on both)"}))
+        spark.stop()
+        return 2
+
     if args.cmd == "build":
         emb = spark.read.parquet(args.inp)
         if args.type == "ivf_pq":
@@ -142,6 +157,11 @@ def main(argv: list[str] | None = None) -> int:
                                path=args.index, m=args.m,
                                k_codes=args.k_codes,
                                replica_count=args.replica_count)
+        elif args.type == "bkt":
+            from sptag_spark.operators import bkt
+
+            bkt.bkt_build(emb, args.index, branch=args.branch,
+                          leaf_max=args.leaf_max)
         else:
             knn.ivf_build(emb, n_centroids=args.centroids, path=args.index,
                           replica_count=args.replica_count)
@@ -216,6 +236,12 @@ def main(argv: list[str] | None = None) -> int:
                 rerank=args.rerank, probe_mode=args.probe_mode,
                 max_dist_ratio=args.max_dist_ratio,
                 probe_scratch_dir=args.probe_scratch_dir)
+        elif _is_bkt(args.index):
+            from sptag_spark.operators import bkt
+
+            res = bkt.bkt_probe(spark, args.index, q, k=args.k,
+                                nprobe=args.nprobe,
+                                probe_mode=args.probe_mode)
         else:
             res = knn.ivf_probe(spark, args.index, q, k=args.k,
                                 nprobe=args.nprobe,

@@ -351,15 +351,29 @@ def tpt_leaf_assign(
     grouped Arrow kernel with the identical rule — see _tpt_stage."""
     staged, wl = _tpt_stage(df, trees, depth, id_col, vec_col, seed,
                             local_chunk)
-    return _finish_assign(staged, depth - wl, df.schema[id_col].dataType)
+    return _finish_assign(staged, depth - wl, df.schema[id_col].dataType,
+                          n_groups=trees * (1 << wl))
 
 
-def _finish_assign(staged: DataFrame, rem: int, id_dtype) -> DataFrame:
+def _finish_assign(staged: DataFrame, rem: int, id_dtype,
+                   n_groups: int | None = None) -> DataFrame:
     """Grouped Arrow kernel finishing the last `rem` descent levels
     locally (identical mean-split rule to the global rounds) over the
-    narrow staged rows; returns (_id, tree, leaf)."""
+    narrow staged rows; returns (_id, tree, leaf).
+
+    `n_groups` = trees * 2^global_levels, the exact (tree, node) group
+    count. The descent groups are FEW and near-equal-sized, so hashing
+    them into 2*cores shuffle partitions collides several groups into
+    one task while others idle (measured 0.54 N->4N at 1M rows).
+    Spreading the exchange over ~8x the group count makes multi-group
+    tasks rare — applyInArrow only needs the keys CLUSTERED, any hash
+    partition count satisfies that, so no second exchange appears."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
+
+    if n_groups:
+        staged = staged.repartition(min(8 * n_groups, 4096),
+                                    "tree", "node")
 
     out_schema = StructType([
         StructField("_id", id_dtype),
@@ -449,7 +463,8 @@ def build_knn_graph_tpt(
         depth = max(1, math.ceil(math.log2(max(n_rows, 2) / leaf_size)))
     staged, wl = _tpt_stage(df, trees, depth, id_col, vec_col, seed,
                             131_072, n_rows=n_rows, dim=dim)
-    assign = _finish_assign(staged, depth - wl, df.schema[id_col].dataType)
+    assign = _finish_assign(staged, depth - wl, df.schema[id_col].dataType,
+                            n_groups=trees * (1 << wl))
     # SHUFFLE_HASH: the vector side is the WIDE side — a sort-merge
     # join would sort ~vec_bytes*N; hash-joining the narrow assignment
     # against it skips both sorts (the join is 1:trees, never skewed)

@@ -1924,6 +1924,167 @@ def paged_topk(
         last = (rows[-1]["cosine"], rows[-1][id_col])
 
 
+def _budgeted_scan(
+    spark,
+    path: str,
+    query_vec: list[float],
+    max_check: int | None,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared tail for the Relaxed-Monotonicity iterative scan
+    (reference Q4: ResultIterator.cpp:28-57 rents a WorkSpace with
+    p_maxCheck; BKTIndex.cpp:431-434 flips m_relaxedMono once results
+    stop being provably monotone).
+
+    Spark restatement over the persisted IVF index: rank ALL heads by
+    exact quantized cosine to the query (driver-side — the head table is
+    tiny by construction, same bound as _collect_centroids), then walk
+    them best-first accumulating posting sizes. A head is probed iff it
+    is the nearest head or the rows checked before it are still under
+    `max_check` — the workspace budget, counted in posting rows exactly
+    like the reference counts checked leaves (m_iNumberOfCheckedLeaves).
+    The scan then reads ONLY the probed bucket partitions (static
+    partition pruning).
+
+    Monotonicity: within the probed subset pages are exactly sorted, so
+    the reference's `gnode.distance > m_Results.worst()` clause never
+    fires; the only way order can be violated vs the FULL index is a
+    better vector hiding in an unprobed posting. The analog of the
+    reference's SPTQueue head-distance frontier is therefore the best
+    head cosine among unprobed NON-EMPTY heads: results at or above it
+    are still provably monotone, results below it carry
+    relaxed_mono = 1. No budget (max_check=None) probes everything and
+    never flags — iterative == batch exactly.
+
+    Returns (scan_df with [id_col, 'cosine', 'relaxed_mono'], threshold,
+    probed_bucket_ids)."""
+    import numpy as np
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
+    q = np.array([int(round(float(x) * 1000)) for x in query_vec],
+                 dtype=np.int64)
+    qnorm = float(np.sqrt(float((q * q).sum())))
+    # Same op order as _nearest_centroid_kernel / the _COS oracle:
+    # dot / (sqrt(na) * sqrt(nb)), query norm first — IEEE-bit-identical.
+    dots = exact_int_matmul(q[None, :], cent_mat.T)[0]
+    hcos = dots / (qnorm * cent_norms)
+    order = np.argsort(-hcos, kind="stable")  # ids ascending => id tiebreak
+
+    post = read_postings(spark, path, id_col)
+    sizes = {r["bucket"]: r["n"] for r in
+             post.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+
+    probed, checked = [], 0
+    threshold = None
+    for pos, idx in enumerate(order):
+        cid = cent_ids[idx]
+        if pos == 0 or max_check is None or checked < max_check:
+            probed.append(cid)
+            checked += sizes.get(cid, 0)
+        elif sizes.get(cid, 0) > 0:
+            # first unprobed non-empty head in best-first order = the
+            # monotone frontier (heads after it have lower cosine)
+            threshold = float(hcos[idx])
+            break
+
+    scan = post.filter(F.col("bucket").isin([int(c) for c in probed]))
+    if "replica_rank" in scan.columns:
+        # replica copies score identically: one candidate per vector
+        # (the reference's visited set, P5)
+        scan = scan.dropDuplicates([id_col])
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in q.tolist()])
+    qn = int((q * q).sum())
+    scan = _with_quantized(scan, id_col, vec_col).select(
+        F.col("_id").alias(id_col),
+        cosine_from_quantized(
+            idot(F.col("_q"), qlit), F.col("_norm"),
+            F.lit(qn).cast("long"),
+        ).alias("cosine"),
+    )
+    if threshold is None:
+        flag = F.lit(0)
+    else:
+        flag = F.when(F.col("cosine") < F.lit(threshold), 1).otherwise(0)
+    scan = scan.withColumn("relaxed_mono", flag.cast("int"))
+    return scan, threshold, probed
+
+
+def relaxed_mono_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 50,
+    max_check: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch form of the budgeted iterative scan: top-k of the
+    budget-pruned index scan with the per-row relaxed_mono flag — the
+    frame a VBASE-style consumer sees after draining the cursor. One
+    declarative plan (pruned scan → top-k), used by the contract query;
+    paged_topk_indexed serves the same rows as a cursor."""
+    scan, _, _ = _budgeted_scan(spark, path, query_vec, max_check,
+                                id_col, vec_col)
+    return (
+        scan.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            ).cast("int"),
+        )
+        .select(id_col, "cosine", "rank", "relaxed_mono")
+    )
+
+
+def paged_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    page_size: int = 10,
+    max_pages: int = 100,
+    max_check: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Iterative top-k cursor over a PERSISTED IVF index with the
+    reference's Relaxed-Monotonicity budget (Q4: GetIterator /
+    SearchIndexIterativeNext, ResultIterator.cpp:28-57; flag at
+    BKTIndex.cpp:431-434). The budget is rented once per cursor —
+    exactly RentWorkSpace(p_maxCheck) — and every page is served from
+    the budget-pruned scan by keyset pagination (strictly colder than
+    the last returned (cosine, id), so page N+1 is one pruned scan).
+
+    Each yielded page is a list of Rows carrying `relaxed_mono`: 0 while
+    results are provably in true global distance order, 1 once they sink
+    below the best unprobed head's cosine (the consumer's early-exit
+    signal — a VBASE top-k-with-filter loop must keep draining flagged
+    pages instead of stopping at the first threshold miss). With
+    max_check=None nothing truncates, no row flags, and the
+    concatenation of pages equals the exact flat scan."""
+    scan, _, _ = _budgeted_scan(spark, path, query_vec, max_check,
+                                id_col, vec_col)
+    last = None
+    for _ in range(max_pages):
+        page_df = scan
+        if last is not None:
+            page_df = scan.filter(
+                (F.col("cosine") < F.lit(last[0]))
+                | ((F.col("cosine") == F.lit(last[0]))
+                   & (F.col(id_col) > F.lit(last[1])))
+            )
+        rows = page_df.orderBy(F.col("cosine").desc(),
+                               F.col(id_col).asc()).limit(page_size).collect()
+        if not rows:
+            return
+        yield rows
+        last = (rows[-1]["cosine"], rows[-1][id_col])
+
+
 def mrr_at_k(approx: DataFrame, truth: DataFrame) -> float:
     """Mean reciprocal rank of the first true neighbor found (reference
     TruthSet MRR, TruthSet.h:166-240). `truth` rows mark relevant

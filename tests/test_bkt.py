@@ -73,6 +73,93 @@ def test_1024_heads_recall_gate_sf01(spark, tmp_path):
     assert r >= 0.3, f"recall@10 = {r}"
 
 
+def _levels(parent):
+    lv = np.zeros(len(parent), dtype=int)
+    for i, p in enumerate(parent):   # parents are created before children
+        if p >= 0:
+            lv[i] = lv[p] + 1
+    return lv
+
+
+def test_multilevel_fit_recurses_and_bounds_leaves(emb_small):
+    """Reference BKTree.h:524-865: the tree recurses past two levels and
+    every leaf holds <= leaf_max rows. Fit-time cells and assign-time
+    buckets use the SAME cosine descent, so the bound is exact."""
+    from sptag_spark.operators.bkt import bkt_assign, bkt_fit
+
+    parent, cents, is_leaf = bkt_fit(
+        emb_small, branch=4, leaf_max=16, coarse_iters=3, cell_iters=5,
+        fit_sample=1_000_000)
+    lv = _levels(parent)
+    assert lv.max() >= 2, f"tree never recursed: depth {lv.max()}"
+    assert (~is_leaf[parent[parent >= 0]]).all()  # parents are internal
+    rows = bkt_assign(emb_small, parent, cents, is_leaf).collect()
+    assert len(rows) == emb_small.count()
+    buckets = np.array([r["bucket"] for r in rows])
+    assert is_leaf[buckets].all(), "assignments must land on leaves"
+    _, counts = np.unique(buckets, return_counts=True)
+    assert counts.max() <= 16, f"leaf overflow: {counts.max()}"
+
+
+def test_multilevel_fit_is_deterministic(emb_small):
+    from sptag_spark.operators.bkt import bkt_fit
+
+    a = bkt_fit(emb_small, branch=4, leaf_max=32, coarse_iters=3,
+                cell_iters=5)
+    b = bkt_fit(emb_small, branch=4, leaf_max=32, coarse_iters=3,
+                cell_iters=5)
+    assert np.array_equal(a[0], b[0])
+    assert np.array_equal(a[1], b[1])
+    assert np.array_equal(a[2], b[2])
+
+
+def test_multilevel_probe_recall_parity_with_flat_ivf(emb_small, spark,
+                                                      tmp_path):
+    """VERDICT r4 #6 gate: at an equal probed-bucket budget (same
+    expected fraction of the corpus scanned), the multi-level tree's
+    recall matches flat IVF — the hierarchy buys O(depth·branch) head
+    selection without giving up result quality."""
+    from sptag_spark.operators.bkt import bkt_build, bkt_probe
+    from sptag_spark.operators.knn import (
+        brute_force_topk, ivf_build, ivf_probe, recall_at_k)
+
+    bpath, ipath = str(tmp_path / "bkt"), str(tmp_path / "ivf")
+    bkt_build(emb_small, bpath, branch=4, leaf_max=32, cell_iters=5)
+    n_leaves = int(spark.read.parquet(f"{bpath}/tree")
+                   .filter("is_leaf").count())
+    assert n_leaves >= 8
+    ivf_build(emb_small, n_centroids=32, path=ipath)
+    q = emb_small.filter("vec_id < 8")
+    exact = brute_force_topk(emb_small, q, k=10)
+    # probe the same fraction of buckets in both indexes
+    frac = 4 / 32
+    bkt_np = max(1, round(n_leaves * frac))
+    approx_bkt = bkt_probe(spark, bpath, q, k=10, nprobe=bkt_np)
+    approx_ivf = ivf_probe(spark, ipath, q, k=10, nprobe=4)
+    r_bkt = recall_at_k(approx_bkt, exact)
+    r_ivf = recall_at_k(approx_ivf, exact)
+    assert r_bkt >= r_ivf - 0.1, f"bkt {r_bkt} vs ivf {r_ivf}"
+    assert r_bkt >= 0.3, f"recall@10 = {r_bkt}"
+
+
+def test_multilevel_probe_is_deterministic_and_leaf_only(emb_small, spark,
+                                                         tmp_path):
+    from sptag_spark.operators.bkt import (
+        _probe_buckets_bkt, _read_tree, bkt_build)
+
+    path = str(tmp_path / "bkt")
+    bkt_build(emb_small, path, branch=4, leaf_max=32, cell_iters=5)
+    parent, cents, is_leaf = _read_tree(spark, path)
+    q = emb_small.filter("vec_id < 8")
+    a = sorted((r["query_id"], r["bucket"]) for r in
+               _probe_buckets_bkt(q, parent, cents, is_leaf, 4).collect())
+    b = sorted((r["query_id"], r["bucket"]) for r in
+               _probe_buckets_bkt(q, parent, cents, is_leaf, 4).collect())
+    assert a == b
+    assert len(a) == 8 * 4
+    assert all(is_leaf[bk] for _, bk in a)
+
+
 def test_all_zero_fine_centroid_survives_padding(spark):
     """A cell whose members are zero vectors yields a legitimately
     all-zero fine centroid; explicit per-cell counts (n_fine) must keep

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sptag_spark.operators.knn import (
     brute_force_topk,
@@ -108,6 +109,112 @@ def test_paged_topk_equals_batch(emb):
     assert cosines == sorted(cosines, reverse=True)
     ids = [i for i, _ in streamed]
     assert len(ids) == len(set(ids))
+
+
+def test_paged_indexed_no_budget_equals_flat_cursor(emb, spark, tmp_path):
+    """Relaxed-Monotonicity cursor, no budget: every posting probes, no
+    row flags, and the page stream equals the exact flat-scan cursor
+    (reference ResultIterator with maxCheck unbounded)."""
+    from sptag_spark.operators.knn import (
+        ivf_build, paged_topk, paged_topk_indexed)
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb, n_centroids=8, path=path)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    def drain(gen, n):
+        rows = []
+        for page in gen:
+            rows.extend(page)
+            if len(rows) >= n:
+                break
+        return rows[:n]
+
+    got = drain(paged_topk_indexed(spark, path, qvec, page_size=7), 30)
+    want = drain(paged_topk(emb, qvec, page_size=7), 30)
+    assert [(r["vec_id"], r["cosine"]) for r in got] \
+        == [(r["vec_id"], r["cosine"]) for r in want]
+    assert all(r["relaxed_mono"] == 0 for r in got)
+
+
+def test_paged_indexed_budget_truncates_and_flags(emb, spark, tmp_path):
+    """Budgeted cursor (reference BKTIndex.cpp:431-434): the scan stops
+    growing at max_check posting rows, results below the best unprobed
+    head's cosine carry relaxed_mono=1, the flag is sticky (a suffix of
+    the stream), and the run is deterministic."""
+    from sptag_spark.operators.knn import (
+        ivf_build, paged_topk_indexed, relaxed_mono_topk)
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb, n_centroids=16, path=path)
+    n_total = emb.count()
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    def drain_all(budget):
+        rows = []
+        for page in paged_topk_indexed(spark, path, qvec, page_size=25,
+                                       max_check=budget):
+            rows.extend(page)
+        return rows
+
+    rows = drain_all(60)
+    # truncation really happened: the probed subset is smaller than the
+    # corpus but at least covers the budget-crossing bucket
+    assert len(rows) < n_total
+    assert len(rows) >= min(60, n_total)
+    # stream is monotone within the scan, ids unique
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    # the flag is a suffix: 0*, then 1* — and both regimes are non-empty
+    flags = [r["relaxed_mono"] for r in rows]
+    assert flags == sorted(flags), "relaxed_mono must be sticky"
+    assert flags[0] == 0, "nearest-head results are monotone-safe"
+    assert flags[-1] == 1, "budget truncation must flag the tail"
+    # deterministic: same budget, same stream
+    again = drain_all(60)
+    assert [(r["vec_id"], r["cosine"], r["relaxed_mono"]) for r in rows] \
+        == [(r["vec_id"], r["cosine"], r["relaxed_mono"]) for r in again]
+    # batch form serves the same rows as the drained cursor prefix
+    batch = relaxed_mono_topk(spark, path, qvec, k=40, max_check=60).collect()
+    assert [(r["vec_id"], r["cosine"], r["relaxed_mono"]) for r in batch] \
+        == [(r["vec_id"], r["cosine"], r["relaxed_mono"])
+            for r in rows[:40]]
+    # the frontier is exactly the reference's rule: threshold = best
+    # unprobed non-empty head's cosine, probed = best-first prefix of
+    # heads until the budget, flags = (cosine < threshold). Recompute
+    # all three independently in numpy and cross-check the scan.
+    import numpy as np
+
+    from sptag_spark.functions.vecarrow import exact_int_matmul
+    from sptag_spark.operators.knn import _budgeted_scan, _collect_centroids
+
+    scan, thr, probed = _budgeted_scan(spark, path, qvec, 60,
+                                       "vec_id", "embedding")
+    cent_ids, cent_mat, cent_norms = _collect_centroids(
+        spark.read.parquet(f"{path}/centroids"))
+    q = np.array([int(round(x * 1000)) for x in qvec], dtype=np.int64)
+    qn = float(np.sqrt(float((q * q).sum())))
+    hcos = exact_int_matmul(q[None, :], cent_mat.T)[0] / (qn * cent_norms)
+    order = np.argsort(-hcos, kind="stable")
+    post = spark.read.parquet(f"{path}/postings")
+    sizes = {r["bucket"]: r["cnt"] for r in
+             post.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+             .collect()}
+    want_probed, checked = [], 0
+    want_thr = None
+    for pos, ci in enumerate(order):
+        cid = cent_ids[ci]
+        if pos == 0 or checked < 60:
+            want_probed.append(cid)
+            checked += sizes.get(cid, 0)
+        elif sizes.get(cid, 0) > 0:
+            want_thr = float(hcos[ci])
+            break
+    assert probed == want_probed
+    assert thr == want_thr and thr is not None
+    for r in rows:
+        assert r["relaxed_mono"] == (1 if r["cosine"] < thr else 0)
 
 
 def test_mrr(emb, spark):

@@ -143,6 +143,23 @@ def test_ivf_probe_scan_is_partition_pruned(spark, tmp_path):
     assert out.count() > 0
 
 
+def test_bkt_probe_scan_is_partition_pruned(spark, tmp_path):
+    """Multi-level BKT probes share the flat-IVF pruned tail: the
+    postings scan must carry a PartitionFilters IN-list on bucket (the
+    tree descent only changes WHICH buckets, never the scan shape)."""
+    from sptag_spark.operators.bkt import bkt_build, bkt_probe
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "bkt")
+    bkt_build(emb, path, branch=4, leaf_max=64, cell_iters=4)
+    out = bkt_probe(spark, path, emb.filter("vec_id < 2"), k=5, nprobe=2)
+    import re
+
+    p = plan_of(out)
+    assert re.search(r"PartitionFilters: \[bucket#\d+ IN \(", p), p
+    assert out.count() > 0
+
+
 def test_assign_buckets_has_no_shuffle_and_no_window(spark):
     """Bucket assignment is one Arrow-kernel scan: zero Exchange, zero
     Window (the round-1 argmin window shuffled 32x the corpus)."""

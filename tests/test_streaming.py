@@ -184,8 +184,12 @@ def test_stream_asof_enrich_matches_batch(spark, events_dir, events_schema,
         spark.read.parquet(probes_dir), features,
         on="user_id", probe_ts="ts", data_ts="ts",
     )
-    key = lambda r: (r["event_id"], r["matched_ts"], r["click_value"])
-    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # contract strictness (VERDICT r4 #7): EVERY column of the batch
+    # asof output, full row multiset — not a projected key comparison
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    assert sorted(map(tuple, got.select(*cols).collect())) \
+        == sorted(map(tuple, want.select(*cols).collect()))
 
 
 def test_watermark_drops_late_events(spark, tmp_path):

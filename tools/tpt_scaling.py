@@ -86,7 +86,10 @@ def main() -> int:
     res = {c: [] for c in (small_n, big_n)}
     for i in range(repeats):
         for c in (small_n, big_n):
-            res[c].append(_one_run(c, corpus, warm_corpus, warmup=(i == 0)))
+            # warm EVERY run: each _one_run is a fresh JVM, so an
+            # unwarmed repeat times Python-worker forks + codegen, not
+            # the build (the warmup corpus is 2% of the campaign's)
+            res[c].append(_one_run(c, corpus, warm_corpus, warmup=True))
 
     def level(c):
         t = res[c]
