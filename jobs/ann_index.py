@@ -142,14 +142,6 @@ def main(argv: list[str] | None = None) -> int:
     def _is_bkt(path: str) -> bool:
         return knn.read_index_meta(spark, path).get("index_type") == "bkt"
 
-    if args.cmd in ("append", "compact", "split", "merge", "reassign",
-                    "ingest") and _is_bkt(args.index):
-        print(json.dumps({"error": f"{args.cmd} operates on the flat "
-                          "head table; rebuild is the bkt maintenance "
-                          "path (delete/search work on both)"}))
-        spark.stop()
-        return 2
-
     if args.cmd == "build":
         emb = spark.read.parquet(args.inp)
         if args.type == "ivf_pq":

@@ -504,13 +504,25 @@ def _probe_buckets_bkt(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    live_ids: "set[int] | None" = None,
+    orphans: "tuple[np.ndarray, np.ndarray] | None" = None,
 ) -> DataFrame:
     """(query_id, bucket): per-query best-first descent — a priority
     queue over (−cosine, node id) seeded with the roots; popping an
     internal node scores+pushes its children, popping a leaf emits its
     bucket, until nprobe leaves (the reference's SPTQueue tree search,
     BKTree.h:799-865). The tree rides to tasks in the kernel closure —
-    the same tiny-head-index assumption as _collect_centroids."""
+    the same tiny-head-index assumption as _collect_centroids.
+
+    Lifecycle compatibility (the leaf set IS the flat centroid table, so
+    ivf_split/merge/append evolve it): `live_ids` restricts emission to
+    heads still present in the centroid table (a merged-away leaf keeps
+    routing queries but is skipped), and `orphans` = (head ids, head
+    matrix) carries maintenance-born heads the tree does not know —
+    they are flat-scored per query and merged with the descended leaves
+    by (cosine DESC, head id ASC) before the top-nprobe cut. Orphan
+    cost is O(n_orphans·dim) per query; a rebuild re-absorbs them into
+    the tree (the reference likewise rebuilds its trees at cadence)."""
     import heapq
 
     import pyarrow as pa
@@ -522,6 +534,8 @@ def _probe_buckets_bkt(
     roots = np.where(parent < 0)[0].astype(np.int64)
     root_mat = cents[roots]
     leaf = is_leaf
+    orph_ids, orph_mat = (orphans if orphans is not None
+                          else (np.array([], dtype=np.int64), None))
 
     out_schema = StructType([
         StructField("query_id", queries.schema[id_col].dataType),
@@ -537,23 +551,34 @@ def _probe_buckets_bkt(
             if isinstance(qid, pa.ChunkedArray):
                 qid = qid.combine_chunks()
             qids = qid.to_numpy(zero_copy_only=False)
+            orph_cos = (_cos_scores(X, orph_mat)
+                        if len(orph_ids) else None)
             out_q, out_b = [], []
             for r in range(len(X)):
                 x = X[r:r + 1]
                 heap = [(-s, int(n)) for s, n in
                         zip(_cos_scores(x, root_mat)[0], roots)]
                 heapq.heapify(heap)
-                found = 0
-                while heap and found < nprobe:
-                    _, nd = heapq.heappop(heap)
+                found = []                       # (cos, leaf) descending
+                while heap and len(found) < nprobe:
+                    negs, nd = heapq.heappop(heap)
                     if leaf[nd]:
-                        out_q.append(qids[r])
-                        out_b.append(nd)
-                        found += 1
+                        if live_ids is None or nd in live_ids:
+                            found.append((-negs, nd))
                         continue
                     ids, mat = child_ids[nd], child_mats[nd]
                     for s, c in zip(_cos_scores(x, mat)[0], ids):
                         heapq.heappush(heap, (-float(s), int(c)))
+                if orph_cos is not None:
+                    merged = sorted(
+                        found + [(float(orph_cos[r, j]), int(orph_ids[j]))
+                                 for j in range(len(orph_ids))],
+                        key=lambda t: (-t[0], t[1]))[:nprobe]
+                else:
+                    merged = found
+                for _, b in merged:
+                    out_q.append(qids[r])
+                    out_b.append(b)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(out_q), pa.array(out_b, pa.int64())],
                 names=["query_id", "bucket"],
@@ -577,7 +602,17 @@ def bkt_build(
     """Build and PERSIST the multi-level BKT index: bucketed postings
     (same partitionBy('bucket') layout contract as knn.ivf_build — the
     probe tail, plan assertions, and sinks are shared) + the tree as one
-    parquet of (node_id, parent, is_leaf, centroid)."""
+    parquet of (node_id, parent, is_leaf, centroid) + the LEAF SET as a
+    flat `centroids` table (centroid_id = leaf node id).
+
+    The flat leaf table is what makes the index lifecycle-compatible:
+    ivf_append/ivf_delete/ivf_compact/ivf_split/ivf_merge all operate on
+    `centroids` + `postings` and never touch the tree. Split-born heads
+    get ids above max(centroid_id) — the last-allocated tree node is
+    always a leaf (children always receive higher ids than their
+    parent), so fresh ids can never collide with a tree node. Probes
+    reconcile: retired leaves are skipped, maintenance-born heads are
+    flat-scored (see _probe_buckets_bkt)."""
     from sptag_spark.operators.knn import _write_index_meta, _write_postings
 
     spark = corpus.sparkSession
@@ -595,6 +630,11 @@ def bkt_build(
         "is_leaf": is_leaf,
         "centroid": [list(map(float, c)) for c in cents],
     })).coalesce(1).write.mode("overwrite").parquet(f"{path}/tree")
+    leaf_ids = np.where(is_leaf)[0]
+    spark.createDataFrame(pd.DataFrame({
+        "centroid_id": leaf_ids.astype(np.int64),
+        "centroid_vec": [list(map(float, cents[i])) for i in leaf_ids],
+    })).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     _write_index_meta(spark, path, index_type="bkt", branch=int(branch),
                       leaf_max=int(leaf_max))
 
@@ -622,12 +662,33 @@ def bkt_probe(
     """Probe a persisted multi-level BKT index: best-first tree descent
     for nprobe leaf buckets per query, then the SHARED partition-pruned
     scoring tail (knn.probe_pruned_topk — static-IN or DPP pruning,
-    optional pushed predicate, identical to flat IVF probes)."""
+    optional pushed predicate, identical to flat IVF probes).
+
+    Reconciles the tree against the flat `centroids` table so the
+    lifecycle ops compose: leaves retired by ivf_merge/ivf_split are
+    skipped during descent; heads born after the build (split halves,
+    etc.) are flat-scored per query and merged into the probe set."""
+    import numpy as np
+
     from sptag_spark.operators.knn import probe_pruned_topk
 
     parent, cents, is_leaf = _read_tree(spark, path)
+    head_rows = spark.read.parquet(f"{path}/centroids").collect()
+    live = {int(r["centroid_id"]) for r in head_rows}
+    leaf_set = {int(i) for i in np.where(is_leaf)[0]}
+    orphan_rows = sorted((int(r["centroid_id"]), r["centroid_vec"])
+                         for r in head_rows
+                         if int(r["centroid_id"]) not in leaf_set)
+    orphans = None
+    if orphan_rows:
+        orphans = (
+            np.asarray([i for i, _ in orphan_rows], dtype=np.int64),
+            np.asarray([[float(x) for x in v] for _, v in orphan_rows],
+                       dtype=np.float64),
+        )
     probes = _probe_buckets_bkt(
-        queries, parent, cents, is_leaf, nprobe, id_col, vec_col)
+        queries, parent, cents, is_leaf, nprobe, id_col, vec_col,
+        live_ids=live, orphans=orphans)
     return probe_pruned_topk(spark, path, probes, queries, k,
                              id_col, vec_col, predicate,
                              probe_mode=probe_mode)

@@ -160,6 +160,59 @@ def test_multilevel_probe_is_deterministic_and_leaf_only(emb_small, spark,
     assert all(is_leaf[bk] for _, bk in a)
 
 
+def test_multilevel_lifecycle_split_merge_delete(emb_small, spark,
+                                                 tmp_path):
+    """The flat leaf table makes the BKT index lifecycle-compatible:
+    ivf_split/ivf_merge/ivf_delete evolve `centroids`+`postings` without
+    touching the tree, and probes reconcile — retired leaves are
+    skipped, split-born heads are flat-scored. Gate: probing EVERY live
+    head equals brute force at every lifecycle stage (full coverage
+    means approximation can hide nothing)."""
+    from sptag_spark.operators.bkt import bkt_build, bkt_probe
+    from sptag_spark.operators.knn import (
+        brute_force_topk, ivf_delete, ivf_merge, ivf_split)
+
+    path = str(tmp_path / "bkt")
+    bkt_build(emb_small, path, branch=4, leaf_max=64, cell_iters=5)
+    q = emb_small.filter("vec_id < 5")
+
+    def n_heads():
+        return spark.read.parquet(f"{path}/centroids").count()
+
+    def probe_all():
+        got = bkt_probe(spark, path, q, k=8, nprobe=n_heads()).collect()
+        return sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+                      for r in got)
+
+    want = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+                  for r in brute_force_topk(emb_small, q, k=8).collect())
+    assert probe_all() == want
+
+    # split: over-limit leaves 2-means in place; new heads are tree
+    # orphans (flat-scored at probe time)
+    h0 = n_heads()
+    n_splits = ivf_split(spark, path, max_posting_size=40)
+    assert n_splits > 0 and n_heads() > h0
+    assert probe_all() == want
+
+    # merge: tiny postings retire their head; the tree leaf goes dead
+    # and descent must skip it
+    merged = ivf_merge(spark, path, min_posting_size=25)
+    assert merged > 0
+    assert probe_all() == want
+
+    # delete: tombstones flow through the shared probe tail
+    ivf_delete(spark, path, emb_small.filter("vec_id IN (11, 12)")
+               .select("vec_id"))
+    got = bkt_probe(spark, path, q, k=8, nprobe=n_heads()).collect()
+    assert all(r["vec_id"] not in (11, 12) for r in got)
+    want_del = brute_force_topk(emb_small.filter("vec_id NOT IN (11, 12)"),
+                                q, k=8).collect()
+    assert sorted((r["query_id"], r["rank"], r["vec_id"]) for r in got) \
+        == sorted((r["query_id"], r["rank"], r["vec_id"])
+                  for r in want_del)
+
+
 def test_all_zero_fine_centroid_survives_padding(spark):
     """A cell whose members are zero vectors yields a legitimately
     all-zero fine centroid; explicit per-cell counts (n_fine) must keep
