@@ -62,6 +62,33 @@ def _pack_global(docs):
     return pack_chunks_global(sized, capacity=64, block_width=50)
 
 
+def _bkt_probe_df(spark, emb):
+    import tempfile
+
+    from sptag_spark.operators.bkt import bkt_build, bkt_probe
+
+    path = os.path.join(tempfile.gettempdir(), "sptag_bkt_plansdoc")
+    bkt_build(emb, path, branch=4, leaf_max=64, cell_iters=4)
+    return bkt_probe(spark, path, emb.filter("vec_id < 2"), k=5, nprobe=2)
+
+
+def _paged_budget_df(spark, emb):
+    import tempfile
+
+    from sptag_spark.operators.knn import ivf_build, relaxed_mono_topk
+
+    path = os.path.join(tempfile.gettempdir(), "sptag_paged_plansdoc")
+    ivf_build(emb, n_centroids=16, path=path)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return relaxed_mono_topk(spark, path, qvec, k=20, max_check=60)
+
+
+def _tpt_graph_df(emb):
+    from sptag_spark.operators.graph import build_knn_graph_tpt
+
+    return build_knn_graph_tpt(emb, k=4, trees=2, leaf_size=64)
+
+
 def _decontaminate(docs):
     from sptag_spark.operators.corpus import contamination_report
 
@@ -200,6 +227,39 @@ def main() -> int:
             "a #blocks-row window broadcast back as a BroadcastHashJoin. "
             "The chunk-span explode is map-side sequence generation.",
             _pack_global(docs),
+        ),
+        (
+            "TPT approximate kNN-graph build",
+            "One corpus scan -> Arrow BLAS projections -> zero-shuffle "
+            "mean-split rounds (per-node stats are tiny broadcast "
+            "aggregates) -> one narrow (tree, node) exchange spread over "
+            "~8x the group count (few near-equal groups would otherwise "
+            "collide in one task) -> shuffle-hash join puts vectors on "
+            "leaf rows -> per-(tree, leaf) bounded matmuls -> one "
+            "hash(src) exchange serving dedup AND the ranking window. "
+            "O(N*leaf*trees) compute; N->4N 0.802 (BENCH.md round 5).",
+            _tpt_graph_df(emb),
+        ),
+        (
+            "Multi-level BKT probe",
+            "Tree descent happens inside one Arrow kernel (the tree is "
+            "closure-broadcast, like the flat centroid kernel); the "
+            "postings scan then carries the same PartitionFilters "
+            "IN-list as flat IVF — the hierarchy changes WHICH buckets, "
+            "never the scan shape. Maintenance-born orphan heads are "
+            "flat-scored inside the same kernel, so lifecycle ops "
+            "(split/merge) never add a plan stage.",
+            _bkt_probe_df(spark, emb),
+        ),
+        (
+            "Relaxed-Monotonicity budgeted scan (batch form)",
+            "The cursor's budget resolves to a STATIC bucket IN-list "
+            "(driver-side head walk over the tiny centroid table), so "
+            "the scan is partition-pruned exactly like a probe; the "
+            "relaxed_mono flag is one codegen'd comparison against the "
+            "frontier literal — no extra pass, no shuffle beyond the "
+            "TakeOrdered.",
+            _paged_budget_df(spark, emb),
         ),
         (
             "Benchmark decontamination",
