@@ -321,7 +321,9 @@ def bkt_fit(
     # with (not the k-means L2 labels): fit-time cell contents then equal
     # assign-time cell contents at every level, so the <= leaf_max stop
     # condition is a real bound on the final postings, not an estimate.
-    root_ids = np.arange(branch, dtype=np.int64)
+    # len(cents), not `branch`: a corpus smaller than the branch factor
+    # seeds fewer roots.
+    root_ids = np.arange(len(cents), dtype=np.int64)
     root_mat = np.stack(cents)
     frontier = _assign_node_level(
         corpus.select(id_col, vec_col), root_ids, root_mat, vec_col

@@ -213,6 +213,63 @@ def test_multilevel_lifecycle_split_merge_delete(emb_small, spark,
                   for r in want_del)
 
 
+def test_budgeted_cursor_over_bkt_index(emb_small, spark, tmp_path):
+    """The Relaxed-Monotonicity cursor only needs the flat
+    centroids+postings contract, which the BKT index shares: with no
+    budget the drained pages over a BKT index equal the exact flat-scan
+    cursor (Q4 composes with Q5)."""
+    from sptag_spark.operators.bkt import bkt_build
+    from sptag_spark.operators.knn import paged_topk, paged_topk_indexed
+
+    path = str(tmp_path / "bkt")
+    bkt_build(emb_small, path, branch=4, leaf_max=64, cell_iters=5)
+    qvec = [float(x)
+            for x in emb_small.filter("vec_id = 0").first()["embedding"]]
+
+    def drain(gen, n):
+        rows = []
+        for page in gen:
+            rows.extend(page)
+            if len(rows) >= n:
+                break
+        return [(r["vec_id"], r["cosine"]) for r in rows[:n]]
+
+    got = drain(paged_topk_indexed(spark, path, qvec, page_size=9), 27)
+    want = drain(paged_topk(emb_small, qvec, page_size=9), 27)
+    assert got == want
+
+
+def test_stream_ingest_into_bkt_index(emb_small, spark, tmp_path):
+    """Streaming vector ingest (T2) composes with the multi-level tree
+    (Q5): micro-batches assign against the flat leaf table; probes
+    reconcile orphans/dead leaves, so probing every live head after the
+    drain equals brute force over the grown corpus."""
+    from sptag_spark.operators.bkt import bkt_build, bkt_probe
+    from sptag_spark.operators.knn import brute_force_topk
+    from sptag_spark.streaming.jobs import stream_ann_ingest
+
+    base = emb_small.filter("vec_id < 400")
+    path = str(tmp_path / "bkt")
+    bkt_build(base, path, branch=4, leaf_max=64, cell_iters=5)
+
+    src = str(tmp_path / "extras_src")
+    emb_small.filter("vec_id >= 400").repartition(3) \
+        .write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(emb_small.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream_ann_ingest(stream, path, str(tmp_path / "ckpt"),
+                      max_posting_size=80).awaitTermination()
+
+    n_heads = spark.read.parquet(f"{path}/centroids").count()
+    q = emb_small.filter("vec_id < 5")
+    got = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+                 for r in bkt_probe(spark, path, q, k=8,
+                                    nprobe=n_heads).collect())
+    want = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+                  for r in brute_force_topk(emb_small, q, k=8).collect())
+    assert got == want
+
+
 def test_all_zero_fine_centroid_survives_padding(spark):
     """A cell whose members are zero vectors yields a legitimately
     all-zero fine centroid; explicit per-cell counts (n_fine) must keep
