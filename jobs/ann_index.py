@@ -150,6 +150,12 @@ def main(argv: list[str] | None = None) -> int:
                                k_codes=args.k_codes,
                                replica_count=args.replica_count)
         elif args.type == "bkt":
+            if args.replica_count != 1:
+                print(json.dumps({"error": "--replica-count is not "
+                                  "supported for --type bkt (single-"
+                                  "assignment tree index)"}))
+                spark.stop()
+                return 2
             from sptag_spark.operators import bkt
 
             bkt.bkt_build(emb, args.index, branch=args.branch,
@@ -229,6 +235,14 @@ def main(argv: list[str] | None = None) -> int:
                 max_dist_ratio=args.max_dist_ratio,
                 probe_scratch_dir=args.probe_scratch_dir)
         elif _is_bkt(args.index):
+            if args.max_dist_ratio is not None \
+                    or args.probe_scratch_dir is not None:
+                print(json.dumps({"error": "--max-dist-ratio / "
+                                  "--probe-scratch-dir are not supported "
+                                  "for bkt indexes (tree descent selects "
+                                  "heads; probes run driver-mode)"}))
+                spark.stop()
+                return 2
             from sptag_spark.operators import bkt
 
             res = bkt.bkt_probe(spark, args.index, q, k=args.k,

@@ -609,12 +609,12 @@ def bkt_build(
 
     The flat leaf table is what makes the index lifecycle-compatible:
     ivf_append/ivf_delete/ivf_compact/ivf_split/ivf_merge all operate on
-    `centroids` + `postings` and never touch the tree. Split-born heads
-    get ids above max(centroid_id) — the last-allocated tree node is
-    always a leaf (children always receive higher ids than their
-    parent), so fresh ids can never collide with a tree node. Probes
-    reconcile: retired leaves are skipped, maintenance-born heads are
-    flat-scored (see _probe_buckets_bkt)."""
+    `centroids` + `postings` and never touch the tree. Probes reconcile
+    by VECTOR identity, not id alone: a head counts as a tree leaf only
+    if its stored vector equals the tree centroid bit-for-bit (split can
+    re-mint a retired leaf's id once merges have lowered
+    max(centroid_id)); everything else — split halves, re-minted ids —
+    is flat-scored as an orphan (see bkt_probe / _probe_buckets_bkt)."""
     from sptag_spark.operators.knn import _write_index_meta, _write_postings
 
     spark = corpus.sparkSession
@@ -676,11 +676,26 @@ def bkt_probe(
 
     parent, cents, is_leaf = _read_tree(spark, path)
     head_rows = spark.read.parquet(f"{path}/centroids").collect()
-    live = {int(r["centroid_id"]) for r in head_rows}
-    leaf_set = {int(i) for i in np.where(is_leaf)[0]}
-    orphan_rows = sorted((int(r["centroid_id"]), r["centroid_vec"])
-                         for r in head_rows
-                         if int(r["centroid_id"]) not in leaf_set)
+    # A head is a LIVE tree leaf only if its id is a leaf AND its stored
+    # vector equals the tree's centroid bit-for-bit (both were written
+    # from the same floats at build time). The id test alone is not
+    # enough: ivf_split mints ids above max(centroid_id), and after
+    # ivf_merge retires high-id leaves that max can dip below a retired
+    # leaf's id — a re-minted id would otherwise be routed by the DEAD
+    # leaf's stale tree centroid instead of flat-scored by its real
+    # head vector.
+    live = set()
+    orphan_rows = []
+    for r in head_rows:
+        hid = int(r["centroid_id"])
+        if (0 <= hid < len(is_leaf) and is_leaf[hid]
+                and np.array_equal(
+                    np.asarray(r["centroid_vec"], dtype=np.float64),
+                    cents[hid])):
+            live.add(hid)
+        else:
+            orphan_rows.append((hid, r["centroid_vec"]))
+    orphan_rows.sort(key=lambda t: t[0])
     orphans = None
     if orphan_rows:
         orphans = (

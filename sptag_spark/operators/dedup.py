@@ -692,8 +692,10 @@ def simhash_pairs(
     quadratically at 10^8+ docs. Explode factor is C(6, m) rows/doc
     (20 at radius 3) — linear cost buying the quadratic fix.
     """
-    assert 1 <= max_hamming <= SIMHASH_BLOCKS - 1, \
-        "6-block pigeonhole only covers 1 <= radius <= blocks-1"
+    # radius 0 is the degenerate single combination (m = 6): blocking
+    # on the whole sketch == exact-sketch equality, still lossless
+    assert 0 <= max_hamming <= SIMHASH_BLOCKS - 1, \
+        "6-block pigeonhole only covers 0 <= radius <= blocks-1"
     from itertools import combinations
 
     m = SIMHASH_BLOCKS - max_hamming

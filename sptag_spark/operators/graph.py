@@ -193,6 +193,12 @@ def _np_descend(pos, P, lv, depth, node, out):
     _np_descend(pos[right], P[right], lv + 1, depth, node * 2 + 1, out)
 
 
+# one-slot cache registry for _tpt_stage's exploded-projection persist
+# (see the comment at the persist site); assumes builds run one at a
+# time per session, like the index build/compact paths
+_STAGE_CACHE: list = []
+
+
 def _tpt_stage(
     df: DataFrame,
     trees: int,
@@ -289,7 +295,15 @@ def _tpt_stage(
         "_id", "_t.tree", *[f"_t._p{lv}" for lv in range(depth)]
     ).withColumn("node", F.lit(0))
     if window_levels:
+        # The cache serves the per-level stats subtrees of the CALLER'S
+        # eventual action, so it cannot unpersist here (the plan is
+        # lazy). A one-slot registry evicts the previous build's cache
+        # instead: repeated builds in one session pin at most ONE
+        # N*trees-row frame rather than accumulating one per call.
+        while _STAGE_CACHE:
+            _STAGE_CACHE.pop().unpersist()
         cur = cur.persist()
+        _STAGE_CACHE.append(cur)
     for lv in range(window_levels):
         # mean split, zero data shuffle: the per-node stats are a tiny
         # map-side-combinable aggregate (<= trees * 2^lv rows) joined
@@ -298,13 +312,19 @@ def _tpt_stage(
         # (psum - pmod(psum, cnt) is divisible by cnt, and div is then
         # exact at any magnitude); row goes right iff p > floor(mean),
         # which equals the oracle's multiply form p * cnt > psum.
+        # decimal(38,0) sum: |p| can reach dim*1000*|q| ~ 6e7, so an
+        # int64 sum overflows once a node spans ~1.4e11 rows — exactly
+        # the level-0 node at the 100-TB design point. The decimal agg
+        # is exact to 1e38, the pmod/div floor stays value-identical
+        # (verified incl. negative sums), and _m comes back as long.
         stats = (
             cur.groupBy("tree", "node")
-            .agg(F.sum(F.col(f"_p{lv}")).alias("_ps"),
+            .agg(F.sum(F.col(f"_p{lv}").cast("decimal(38,0)"))
+                 .alias("_ps"),
                  F.count(F.lit(1)).alias("_pc"))
             .withColumn(
                 "_m",
-                F.expr("(_ps - pmod(_ps, _pc)) div _pc"))
+                F.expr("CAST((_ps - pmod(_ps, _pc)) div _pc AS LONG)"))
             .select("tree", "node", "_m")
         )
         cur = (

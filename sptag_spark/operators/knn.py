@@ -1820,12 +1820,17 @@ def multi_index_topk(
     compiling well) use `multi_index_topk_join` — same semantics, the
     query frame broadcasts as data instead of literals.
     """
+    import numpy as np
+
     qrows = queries.select(id_col, vec_col).collect()
     assert len(qrows) == len(weights), "one weight per query"
     c = _with_quantized(corpus, id_col, vec_col)
     score = F.lit(0.0)
     for row, w in zip(qrows, weights):
-        qv = [int(round(float(x) * 1000)) for x in row[vec_col]]
+        # np_quantize, not Python round(): HALF_UP like the engine +
+        # oracle, where round() is HALF_EVEN and diverges on exact ties
+        qv = np_quantize(
+            np.asarray([row[vec_col]], dtype=np.float64))[0].tolist()
         qlit = F.array(*[F.lit(v).cast("long") for v in qv])
         qnorm = sum(v * v for v in qv)
         score = score + F.lit(float(w)) * cosine_from_quantized(
@@ -1897,7 +1902,11 @@ def paged_topk(
     everything already returned) instead of OFFSET, so page N+1 is one
     pruned scan, not a rescan of N pages. Tie-safety comes from the
     (cosine, id) composite keyset."""
-    q = [int(round(float(x) * 1000)) for x in query_vec]
+    import numpy as np
+
+    # HALF_UP quantization (np_quantize), matching the engine expression
+    q = np_quantize(
+        np.asarray([query_vec], dtype=np.float64))[0].tolist()
     qlit = F.array(*[F.lit(v).cast("long") for v in q])
     qnorm = sum(v * v for v in q)
     c = _with_quantized(corpus, id_col, vec_col).withColumn(
@@ -1907,11 +1916,20 @@ def paged_topk(
             F.lit(qnorm).cast("long"),
         ),
     ).select(F.col("_id").alias(id_col), "cosine")
+    yield from _keyset_pages(c, id_col, page_size, max_pages)
+
+
+def _keyset_pages(scan: DataFrame, id_col: str, page_size: int,
+                  max_pages: int):
+    """Shared keyset-pagination loop (paged_topk and paged_topk_indexed):
+    each page re-queries strictly colder than the last (cosine, id)
+    keyset — page N+1 is one pruned scan, never a rescan of N pages;
+    ties are safe via the composite keyset."""
     last = None  # (cosine, id) keyset
     for _ in range(max_pages):
-        page_df = c
+        page_df = scan
         if last is not None:
-            page_df = c.filter(
+            page_df = scan.filter(
                 (F.col("cosine") < F.lit(last[0]))
                 | ((F.col("cosine") == F.lit(last[0]))
                    & (F.col(id_col) > F.lit(last[1])))
@@ -1963,8 +1981,9 @@ def _budgeted_scan(
 
     centroids = spark.read.parquet(f"{path}/centroids")
     cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
-    q = np.array([int(round(float(x) * 1000)) for x in query_vec],
-                 dtype=np.int64)
+    # HALF_UP quantization (np_quantize) — Python round() is HALF_EVEN
+    # and would diverge from the centroid matrix + oracle on exact ties
+    q = np_quantize(np.asarray([query_vec], dtype=np.float64))[0]
     qnorm = float(np.sqrt(float((q * q).sum())))
     # Same op order as _nearest_centroid_kernel / the _COS oracle:
     # dot / (sqrt(na) * sqrt(nb)), query norm first — IEEE-bit-identical.
@@ -2068,21 +2087,7 @@ def paged_topk_indexed(
     concatenation of pages equals the exact flat scan."""
     scan, _, _ = _budgeted_scan(spark, path, query_vec, max_check,
                                 id_col, vec_col)
-    last = None
-    for _ in range(max_pages):
-        page_df = scan
-        if last is not None:
-            page_df = scan.filter(
-                (F.col("cosine") < F.lit(last[0]))
-                | ((F.col("cosine") == F.lit(last[0]))
-                   & (F.col(id_col) > F.lit(last[1])))
-            )
-        rows = page_df.orderBy(F.col("cosine").desc(),
-                               F.col(id_col).asc()).limit(page_size).collect()
-        if not rows:
-            return
-        yield rows
-        last = (rows[-1]["cosine"], rows[-1][id_col])
+    yield from _keyset_pages(scan, id_col, page_size, max_pages)
 
 
 def mrr_at_k(approx: DataFrame, truth: DataFrame) -> float:

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from sptag_spark.operators.bkt import (
     hierarchical_assign,
@@ -267,6 +268,76 @@ def test_stream_ingest_into_bkt_index(emb_small, spark, tmp_path):
                                     nprobe=n_heads).collect())
     want = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"])
                   for r in brute_force_topk(emb_small, q, k=8).collect())
+    assert got == want
+
+
+def test_reminted_leaf_id_is_not_routed_by_stale_tree_centroid(
+        emb_small, spark, tmp_path):
+    """ivf_split mints head ids above max(centroid_id); once ivf_merge
+    has retired high-id leaves, a later split can RE-MINT a retired
+    tree-leaf id. The probe must classify that head by VECTOR identity
+    (orphan, flat-scored by its real head vector) — not route it by the
+    dead leaf's stale tree centroid. Gate: the collision actually
+    occurs, and full-coverage probe still equals brute force."""
+    import numpy as np
+
+    from sptag_spark.operators.bkt import _read_tree, bkt_build, bkt_probe
+    from sptag_spark.operators.knn import (
+        brute_force_topk, ivf_merge, ivf_split)
+
+    from sptag_spark.operators.knn import ivf_delete
+
+    path = str(tmp_path / "bkt")
+    bkt_build(emb_small, path, branch=4, leaf_max=64, cell_iters=5)
+    parent, cents, is_leaf = _read_tree(spark, path)
+    leaf_ids = set(int(i) for i in np.where(is_leaf)[0])
+
+    def heads():
+        return {int(r["centroid_id"]): list(r["centroid_vec"]) for r in
+                spark.read.parquet(f"{path}/centroids").collect()}
+
+    def sizes():
+        return {r["bucket"]: r["n"] for r in
+                spark.read.parquet(f"{path}/postings").groupBy("bucket")
+                .agg(F.count("*").alias("n")).collect()}
+
+    # retire EXACTLY the max-id leaf: tombstone its rows, then merge
+    # away the now-empty head. Node top-1 is necessarily also a leaf
+    # (it cannot own two children above itself), so the next split
+    # mints max_live+1 == top — a guaranteed id collision with the
+    # retired tree leaf.
+    top = max(heads())
+    dead_ids = [r["vec_id"] for r in
+                spark.read.parquet(f"{path}/postings")
+                .filter(F.col("bucket") == top).select("vec_id").collect()]
+    ivf_delete(spark, path,
+               emb_small.filter(F.col("vec_id").isin(dead_ids))
+               .select("vec_id"))
+    smallest_live = min(n for b, n in sizes().items() if b != top)
+    assert smallest_live >= 2, "choreography needs no other tiny bucket"
+    assert ivf_merge(spark, path, min_posting_size=2) > 0
+    hv = heads()
+    assert top not in hv and max(hv) == top - 1
+
+    before = set(hv)
+    thresh = max(sizes().values()) - 1
+    assert ivf_split(spark, path, max_posting_size=thresh) > 0
+    minted = set(heads()) - before
+    assert top in minted, (minted, top)
+    collided = {m for m in minted if m in leaf_ids}
+    # the collided head's stored vector differs from the stale tree
+    # centroid — the classification input the fix keys on
+    hv = heads()
+    assert all(not np.array_equal(np.asarray(hv[m]), cents[m])
+               for m in collided)
+
+    q = emb_small.filter("vec_id < 5")
+    got = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+                 for r in bkt_probe(spark, path, q, k=8,
+                                    nprobe=len(hv)).collect())
+    survivors = emb_small.filter(~F.col("vec_id").isin(dead_ids))
+    want = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+                  for r in brute_force_topk(survivors, q, k=8).collect())
     assert got == want
 
 

@@ -193,7 +193,9 @@ def test_paged_indexed_budget_truncates_and_flags(emb, spark, tmp_path):
                                        "vec_id", "embedding")
     cent_ids, cent_mat, cent_norms = _collect_centroids(
         spark.read.parquet(f"{path}/centroids"))
-    q = np.array([int(round(x * 1000)) for x in qvec], dtype=np.int64)
+    from sptag_spark.functions.vecarrow import np_quantize
+
+    q = np_quantize(np.asarray([qvec], dtype=np.float64))[0]
     qn = float(np.sqrt(float((q * q).sum())))
     hcos = exact_int_matmul(q[None, :], cent_mat.T)[0] / (qn * cent_norms)
     order = np.argsort(-hcos, kind="stable")
