@@ -1949,6 +1949,7 @@ def _budgeted_scan(
     max_check: int | None,
     id_col: str,
     vec_col: str,
+    predicate=None,
 ):
     """Shared tail for the Relaxed-Monotonicity iterative scan
     (reference Q4: ResultIterator.cpp:28-57 rents a WorkSpace with
@@ -2010,6 +2011,12 @@ def _budgeted_scan(
             break
 
     scan = post.filter(F.col("bucket").isin([int(c) for c in probed]))
+    if predicate is not None:
+        # the reference's p_filterFunc (ResultIterator.cpp:8): results
+        # filter AFTER the budget walk — checked-leaf accounting counts
+        # every visited row exactly like m_iNumberOfCheckedLeaves, and
+        # the predicate lands in the same pruned scan as a pushed filter
+        scan = scan.filter(predicate)
     if "replica_rank" in scan.columns:
         # replica copies score identically: one candidate per vector
         # (the reference's visited set, P5)
@@ -2039,6 +2046,7 @@ def relaxed_mono_topk(
     max_check: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate=None,
 ) -> DataFrame:
     """Batch form of the budgeted iterative scan: top-k of the
     budget-pruned index scan with the per-row relaxed_mono flag — the
@@ -2046,7 +2054,7 @@ def relaxed_mono_topk(
     declarative plan (pruned scan → top-k), used by the contract query;
     paged_topk_indexed serves the same rows as a cursor."""
     scan, _, _ = _budgeted_scan(spark, path, query_vec, max_check,
-                                id_col, vec_col)
+                                id_col, vec_col, predicate)
     return (
         scan.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -2069,6 +2077,7 @@ def paged_topk_indexed(
     max_check: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    predicate=None,
 ):
     """Iterative top-k cursor over a PERSISTED IVF index with the
     reference's Relaxed-Monotonicity budget (Q4: GetIterator /
@@ -2086,7 +2095,7 @@ def paged_topk_indexed(
     max_check=None nothing truncates, no row flags, and the
     concatenation of pages equals the exact flat scan."""
     scan, _, _ = _budgeted_scan(spark, path, query_vec, max_check,
-                                id_col, vec_col)
+                                id_col, vec_col, predicate)
     yield from _keyset_pages(scan, id_col, page_size, max_pages)
 
 

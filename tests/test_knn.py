@@ -137,6 +137,35 @@ def test_paged_indexed_no_budget_equals_flat_cursor(emb, spark, tmp_path):
     assert all(r["relaxed_mono"] == 0 for r in got)
 
 
+def test_paged_indexed_predicate_filters_results_not_budget(emb, spark,
+                                                            tmp_path):
+    """The cursor's predicate is the reference's p_filterFunc
+    (ResultIterator.cpp:8): it gates RESULTS inside the same pruned
+    scan. With no budget, the filtered cursor equals the exact flat
+    cursor over the filtered corpus."""
+    from sptag_spark.operators.knn import (
+        ivf_build, paged_topk, paged_topk_indexed)
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb, n_centroids=8, path=path)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    def drain(gen, n):
+        rows = []
+        for page in gen:
+            rows.extend(page)
+            if len(rows) >= n:
+                break
+        return [(r["vec_id"], r["cosine"]) for r in rows[:n]]
+
+    got = drain(paged_topk_indexed(spark, path, qvec, page_size=7,
+                                   predicate="vec_id % 2 = 0"), 21)
+    want = drain(paged_topk(emb.filter("vec_id % 2 = 0"), qvec,
+                            page_size=7), 21)
+    assert got == want
+    assert all(v % 2 == 0 for v, _ in got)
+
+
 def test_paged_indexed_budget_truncates_and_flags(emb, spark, tmp_path):
     """Budgeted cursor (reference BKTIndex.cpp:431-434): the scan stops
     growing at max_check posting rows, results below the best unprobed
