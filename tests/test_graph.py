@@ -73,6 +73,25 @@ def test_rng_prune_semantics(emb):
     graph.unpersist()
 
 
+def test_rng_prune_composes_with_tpt_graph(emb):
+    """The reference's full graph pipeline is TPT build THEN RNG refine
+    (NeighborhoodGraph BuildGraph -> RefineGraph): rng_prune consumes
+    the approximate TPT graph's (src, dst, cosine) frame directly."""
+    from sptag_spark.operators.graph import build_knn_graph_tpt
+
+    g = build_knn_graph_tpt(emb, k=6, trees=2, leaf_size=128).cache()
+    pruned = rng_prune(g, emb, max_degree=3)
+    rows = pruned.collect()
+    graph_edges = {(r["src"], r["dst"]) for r in g.collect()}
+    assert {(r["src"], r["dst"]) for r in rows} <= graph_edges
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    assert len(by_src) == emb.count()          # every row keeps an edge
+    assert all(1 <= len(v) <= 3 for v in by_src.values())
+    g.unpersist()
+
+
 def test_rng_prunes_occluded_neighbor(spark):
     """Hand-built geometry: two candidates nearly identical to each other
     -> the second is occluded (reference RNG rule); a diverse third
