@@ -301,18 +301,38 @@ def bkt_fit(
     coarse_iters: int = 8,
     cell_iters: int = 10,
     fit_sample: int = 4096,
+    root_sample: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Fit the multi-level tree. Returns (parent, centroids, is_leaf):
     ``parent[i]`` = parent node id (-1 for roots), ``centroids`` is
     (n_nodes, dim) float64, ``is_leaf[i]`` marks nodes that own postings
     (bucket id == node id). Deterministic end-to-end: md5 k-means init,
-    xxhash64 cell sampling, id-ordered Lloyd init per cell."""
+    xxhash64 cell sampling, id-ordered Lloyd init per cell.
+
+    `root_sample` (0 = off): fit the root k-means on a deterministic
+    xxhash sample of ~this many rows — the reference samples its
+    per-node k-means too (BKTree.h:545 m_iSamples). Full-corpus Lloyd
+    passes dominate the build (8 scans; they scan-scale at 0.955 N->4N
+    but at 10^9 rows are not a viable fit strategy), so ENABLE this
+    (e.g. 200_000) on large corpora: measured 3.3x absolute build
+    speedup at 1M rows, with the sampled fit's fixed per-iteration
+    costs amortizing as N grows (BENCH.md round-5 BKT section).
+    Assignment always descends the full corpus either way."""
     import pandas as pd
     from pyspark.sql.types import LongType
 
     spark = corpus.sparkSession
+    fit_src = corpus
+    n_rows = corpus.count()
+    if root_sample and n_rows > root_sample:
+        m0 = 1 << 30
+        frac_keep = min(m0, int(np.ceil(root_sample / n_rows * m0)))
+        fit_src = corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(-1)), F.lit(m0))
+            < F.lit(frac_keep))
     coarse, _ = kmeans_fit(
-        corpus, branch, id_col=id_col, vec_col=vec_col, iters=coarse_iters)
+        fit_src, branch, id_col=id_col, vec_col=vec_col,
+        iters=coarse_iters)
     cents: list[np.ndarray] = [np.asarray(coarse[i], dtype=np.float64)
                                for i in range(len(coarse))]
     parent: list[int] = [-1] * len(coarse)
@@ -600,6 +620,7 @@ def bkt_build(
     fit_sample: int = 4096,
     coarse_iters: int = 8,
     cell_iters: int = 10,
+    root_sample: int = 0,
 ) -> None:
     """Build and PERSIST the multi-level BKT index: bucketed postings
     (same partitionBy('bucket') layout contract as knn.ivf_build — the
@@ -621,7 +642,8 @@ def bkt_build(
     parent, cents, is_leaf = bkt_fit(
         corpus, branch=branch, leaf_max=leaf_max, max_levels=max_levels,
         id_col=id_col, vec_col=vec_col, fit_sample=fit_sample,
-        coarse_iters=coarse_iters, cell_iters=cell_iters)
+        coarse_iters=coarse_iters, cell_iters=cell_iters,
+        root_sample=root_sample)
     bucketed = bkt_assign(corpus, parent, cents, is_leaf, id_col, vec_col)
     _write_postings(bucketed, f"{path}/postings", "overwrite")
     import pandas as pd
