@@ -3,7 +3,7 @@
     spark-submit --py-files sptag_spark.zip jobs/ann_index.py build \
         --in /data/embeddings.parquet --index /data/idx \
         [--type ivf|ivf_pq|bkt] [--centroids 1024] [--m 8] [--k-codes 16] \
-        [--branch 8] [--leaf-max 256]
+        [--branch 8] [--leaf-max 256] [--root-sample 200000]
     ... ann_index.py append  --in /data/new.parquet --index /data/idx
     ... ann_index.py delete  --keys /data/deleted.parquet --index /data/idx
     ... ann_index.py compact --index /data/idx [--max-posting-size N]
@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--replica-count", type=int, default=1)
     b.add_argument("--branch", type=int, default=8)
     b.add_argument("--leaf-max", type=int, default=256)
+    b.add_argument("--root-sample", type=int, default=0,
+                   help="bkt only: fit the root k-means on a "
+                        "deterministic sample of ~N rows (enable on "
+                        "large corpora; 0 = full-corpus fit)")
 
     a = sub.add_parser("append")
     a.add_argument("--in", dest="inp", required=True)
@@ -159,7 +163,8 @@ def main(argv: list[str] | None = None) -> int:
             from sptag_spark.operators import bkt
 
             bkt.bkt_build(emb, args.index, branch=args.branch,
-                          leaf_max=args.leaf_max)
+                          leaf_max=args.leaf_max,
+                          root_sample=args.root_sample)
         else:
             knn.ivf_build(emb, n_centroids=args.centroids, path=args.index,
                           replica_count=args.replica_count)
