@@ -1393,7 +1393,7 @@ def _q_knn_graph_tpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE k-NN graph via random-projection-tree leaves — the
     reference's actual O(N * leaf * trees) graph build
     (NeighborhoodGraph.h:328-442) vs knn_graph's exact O(N^2) twin.
-    Deterministic (md5-seeded projections, median splits, exact int
+    Deterministic (md5-seeded projections, mean splits, exact int
     arithmetic), so DuckDB replays the identical forest."""
     from sptag_spark.operators.graph import build_knn_graph_tpt
 
@@ -1402,16 +1402,14 @@ def _q_knn_graph_tpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_tpt_oracle(
-    k: int = 6, trees: int = 8, depth: int = 3, dim: int = 64,
-    seed: int = 42,
-) -> str:
-    """Relational replay of build_knn_graph_tpt: same literal weights
-    (graph._tpt_weights), same mean splits — row goes right iff
-    p > floor(mean(p) over the node), expressed overflow-free at this
-    scale as the integer multiply form p * count > sum (equivalent for
-    integers) — same exact quantized cosine, same cross-tree dedup +
-    per-src rank."""
+def _tpt_ded_ctes(trees: int, depth: int, dim: int, seed: int) -> str:
+    """Shared WITH-body replaying graph._tpt_stage + the per-leaf
+    all-pairs scoring through the cross-tree dedup CTE `ded`: same
+    literal md5 weights (graph._tpt_weights), same mean splits — row
+    goes right iff p > floor(mean(p) over the node), expressed
+    overflow-free at this scale as the integer multiply form
+    p * count > sum (equivalent for integers) — same exact quantized
+    cosine. Used by both the plain-TPT and the refined-graph oracles."""
     from sptag_spark.operators.graph import _tpt_weights
 
     W = _tpt_weights(trees, depth, dim, seed)
@@ -1453,7 +1451,17 @@ leafp AS (
       AS cosine
   FROM l{depth} a JOIN l{depth} b
     ON a.tree = b.tree AND a.node = b.node AND a.vec_id <> b.vec_id),
-ded AS (SELECT src, dst, max(cosine) AS cosine FROM leafp GROUP BY 1, 2)
+ded AS (SELECT src, dst, max(cosine) AS cosine FROM leafp GROUP BY 1, 2)"""
+    return sql
+
+
+def _knn_graph_tpt_oracle(
+    k: int = 6, trees: int = 8, depth: int = 3, dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """Relational replay of build_knn_graph_tpt — see _tpt_ded_ctes —
+    plus the per-src rank."""
+    return _tpt_ded_ctes(trees, depth, dim, seed) + f"""
 SELECT * FROM (
   SELECT src, dst, cosine,
          CAST(row_number() OVER (PARTITION BY src
@@ -1461,7 +1469,65 @@ SELECT * FROM (
   FROM ded)
 WHERE rank <= {k}
 """
+
+
+def _knn_graph_refined_oracle(
+    k: int = 6, trees: int = 4, depth: int = 3, iters: int = 2,
+    dim: int = 64, seed: int = 42,
+) -> str:
+    """Relational replay of build_knn_graph_tpt + refine_knn_graph:
+    the shared TPT forest CTEs, then per refinement iteration — base =
+    edges UNION reversed edges, neighbor-of-neighbor expansion (self-
+    join base on a.dst = b.src), distinct candidates, exact quantized-
+    cosine re-rank, per-src top-k. UNION (not UNION ALL) replays the
+    distinct; all arithmetic is exact ints -> IEEE doubles, so the
+    hash matches bit-for-bit."""
+    sql = _tpt_ded_ctes(trees, depth, dim, seed) + f""",
+g0 AS (SELECT src, dst FROM (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+              ORDER BY cosine DESC, dst) AS r
+  FROM ded) WHERE r <= {k})"""
+    for it in range(1, iters + 1):
+        sql += f""",
+b{it} AS (SELECT src, dst FROM g{it - 1}
+  UNION SELECT dst, src FROM g{it - 1}),
+c{it} AS (SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM b{it}
+    UNION ALL
+    SELECT a.src, b.dst FROM b{it} a JOIN b{it} b ON a.dst = b.src)
+  WHERE src <> dst),
+s{it} AS (SELECT c.src, c.dst,
+    CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]))
+      AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+      AS cosine
+  FROM c{it} c JOIN n a ON a.vec_id = c.src JOIN n b ON b.vec_id = c.dst),
+r{it} AS (SELECT src, dst, cosine,
+         row_number() OVER (PARTITION BY src
+              ORDER BY cosine DESC, dst) AS rank
+  FROM s{it}),
+g{it} AS (SELECT src, dst, cosine, rank FROM r{it} WHERE rank <= {k})"""
+    sql += f"""
+SELECT src, dst, cosine, CAST(rank AS INT) AS rank FROM g{iters}
+"""
     return sql
+
+
+def _q_knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPT graph build + RefineGraph iterations (reference
+    NeighborhoodGraph.h:444-465 — BuildInitKNNGraph then RefineGraph,
+    loop :597-677, default m_iRefineIter=2 at :46): two rounds of
+    reverse-edge + neighbor-of-neighbor candidate expansion with exact
+    re-rank. Deterministic end-to-end, so DuckDB replays the full
+    build + refine pipeline bit-identically."""
+    from sptag_spark.operators.graph import (
+        build_knn_graph_tpt,
+        refine_knn_graph,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    g0 = build_knn_graph_tpt(emb, k=6, trees=4, depth=3)
+    return refine_knn_graph(g0, emb, k=6, iters=2)
 
 
 def _q_source_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1772,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_join_multi_index": _q_rank_join,
         "knn_graph": _q_knn_graph,
         "knn_graph_tpt": _q_knn_graph_tpt,
+        "knn_graph_refined": _q_knn_graph_refined,
         "json_extract_agg": _q_json_extract,
         "source_stats_salted": _q_source_stats_salted,
         "corpus_stats_rollup": _q_corpus_rollup,
@@ -1824,6 +1891,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_join_multi_index": _RANK_JOIN_ORACLE,
         "knn_graph": _KNN_GRAPH_ORACLE,
         "knn_graph_tpt": _knn_graph_tpt_oracle(),
+        "knn_graph_refined": _knn_graph_refined_oracle(),
         "json_extract_agg": _JSON_EXTRACT_ORACLE,
         "source_stats_salted": _SOURCE_STATS_SALTED_ORACLE,
         "corpus_stats_rollup": _CORPUS_ROLLUP_ORACLE,

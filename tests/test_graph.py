@@ -236,6 +236,100 @@ def test_tpt_graph_recall_and_edge_exactness(emb, oracle):
     assert sorted(got) == sorted(again)
 
 
+def test_refine_improves_recall_and_per_rank_cosine(emb, oracle):
+    """RefineGraph semantics (reference NeighborhoodGraph.h:444-465,
+    :597-677): refinement re-ranks each src over a candidate SUPERSET
+    of its current neighbors, so (a) recall vs the exact graph is
+    STRICTLY above the plain TPT graph at equal trees (the reference's
+    own reason the pass exists), (b) per-src per-rank cosine never
+    decreases, (c) emitted cosines are bit-exact, (d) deterministic."""
+    from sptag_spark.operators.graph import (
+        build_knn_graph_tpt,
+        refine_knn_graph,
+    )
+
+    tpt = build_knn_graph_tpt(emb, k=K, trees=2, depth=3).cache()
+    ref = refine_knn_graph(tpt, emb, k=K, iters=2).cache()
+    exact_cos = {(s, d): c for s, lst in oracle.items() for d, c in lst}
+    exact_edges = set(exact_cos)
+    tpt_edges = {(r["src"], r["dst"]) for r in tpt.collect()}
+    ref_rows = ref.collect()
+    ref_edges = {(r["src"], r["dst"]) for r in ref_rows}
+    rec_tpt = len(tpt_edges & exact_edges) / len(exact_edges)
+    rec_ref = len(ref_edges & exact_edges) / len(exact_edges)
+    assert rec_ref > rec_tpt, (rec_tpt, rec_ref)
+    # (b) per-rank monotone improvement
+    old = {(r["src"], r["rank"]): r["cosine"] for r in tpt.collect()}
+    for r in ref_rows:
+        key = (r["src"], r["rank"])
+        if key in old:
+            assert r["cosine"] >= old[key], key
+    # (c) bit-exact cosines on overlapping exact edges
+    for r in ref_rows:
+        if (r["src"], r["dst"]) in exact_cos:
+            assert r["cosine"] == exact_cos[(r["src"], r["dst"])]
+    # per-src ranks contiguous, at most K
+    by_src = {}
+    for r in ref_rows:
+        by_src.setdefault(r["src"], []).append(r["rank"])
+    for s, ranks in by_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= K
+    # (d) determinism
+    again = refine_knn_graph(tpt, emb, k=K, iters=2).collect()
+    assert sorted((r["src"], r["dst"], r["cosine"], r["rank"])
+                  for r in again) == sorted(
+        (r["src"], r["dst"], r["cosine"], r["rank"]) for r in ref_rows)
+    ref.unpersist()
+    tpt.unpersist()
+
+
+def test_refine_iterations_monotone(emb, oracle):
+    """Each refinement iteration's candidate set contains the previous
+    iteration's chosen edges, so per-(src, rank) cosine is monotone
+    non-decreasing in iters; forward-only expansion still refines but
+    the reverse-edge default dominates it at equal iterations."""
+    from sptag_spark.operators.graph import (
+        build_knn_graph_tpt,
+        refine_knn_graph,
+    )
+
+    tpt = build_knn_graph_tpt(emb, k=K, trees=2, depth=3).cache()
+    r1 = refine_knn_graph(tpt, emb, k=K, iters=1)
+    r2 = refine_knn_graph(tpt, emb, k=K, iters=2)
+    c1 = {(r["src"], r["rank"]): r["cosine"] for r in r1.collect()}
+    c2 = {(r["src"], r["rank"]): r["cosine"] for r in r2.collect()}
+    for key, c in c1.items():
+        assert c2.get(key, c) >= c, key
+    # forward-only is still an improvement over the raw graph
+    fwd = refine_knn_graph(tpt, emb, k=K, iters=1, include_reverse=False)
+    old = {(r["src"], r["rank"]): r["cosine"] for r in tpt.collect()}
+    for r in fwd.collect():
+        key = (r["src"], r["rank"])
+        if key in old:
+            assert r["cosine"] >= old[key], key
+    tpt.unpersist()
+
+
+def test_refine_composes_with_rng_prune(emb):
+    """The reference's full pipeline: TPT init -> RefineGraph ->
+    RebuildNeighbors RNG rule. rng_prune consumes the refined frame
+    directly; every kept edge comes from the refined graph."""
+    from sptag_spark.operators.graph import (
+        build_knn_graph_tpt,
+        refine_knn_graph,
+    )
+
+    g = refine_knn_graph(
+        build_knn_graph_tpt(emb, k=K, trees=2, depth=3), emb, k=K, iters=1
+    ).cache()
+    pruned = rng_prune(g, emb, max_degree=3)
+    kept = {(r["src"], r["dst"]) for r in pruned.collect()}
+    assert kept <= {(r["src"], r["dst"]) for r in g.collect()}
+    assert len({s for s, _ in kept}) == emb.count()
+    g.unpersist()
+
+
 def test_tpt_default_depth_from_leaf_size(emb):
     """depth=None derives log2(N/leaf_size); with leaf_size >= N the
     forest degenerates to a single split level (depth 1)."""
