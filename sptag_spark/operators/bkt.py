@@ -40,6 +40,51 @@ from pyspark.sql.types import (
 from sptag_spark.operators.kmeans import kmeans_fit
 
 
+def _sampled_cell_fit_src(
+    assigned: DataFrame,
+    cell_col: str,
+    id_col: str,
+    vec_col: str,
+    fit_sample: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-cell hash sample of a (id, vec, cell) frame:
+    keep a row iff xxhash64(id, seed) mod 2^30 < frac_keep(cell)·2^30,
+    with frac_keep sized so every cell yields ~fit_sample rows. The
+    reference samples its per-node k-means fits the same way
+    (BKTree.h:545 m_iSamples); here it also bounds the rows any single
+    applyInPandas fit task materializes — the full-cell variant put an
+    ENTIRE coarse cell (N/k1 rows) in one pandas task, an OOM at 10^9
+    rows. Cells at or under fit_sample pass through whole; if no cell
+    is oversized the input returns unchanged (no extra join in tests /
+    small corpora)."""
+    import pandas as pd
+
+    spark = assigned.sparkSession
+    sizes = {int(r[cell_col]): int(r["n"]) for r in
+             assigned.groupBy(cell_col)
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not any(n > fit_sample for n in sizes.values()):
+        return assigned
+    m = 1 << 30
+    cells = sorted(sizes)
+    keep = pd.DataFrame({
+        cell_col: pd.array(cells, dtype="int64"),
+        "__keep": pd.array(
+            [m if sizes[c] <= fit_sample
+             else min(m, int(np.ceil(fit_sample / sizes[c] * m)))
+             for c in cells], dtype="int64"),
+    })
+    keep_df = F.broadcast(
+        spark.createDataFrame(keep).withColumn(
+            cell_col, F.col(cell_col).cast(
+                assigned.schema[cell_col].dataType)))
+    return (assigned.join(keep_df, cell_col)
+            .filter(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                           F.lit(m)) < F.col("__keep"))
+            .drop("__keep"))
+
+
 def hierarchical_heads_fit(
     df: DataFrame,
     k1: int = 32,
@@ -48,6 +93,7 @@ def hierarchical_heads_fit(
     vec_col: str = "embedding",
     coarse_iters: int = 8,
     cell_iters: int = 10,
+    fit_sample: int = 4096,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Fit (coarse (k1, dim), fine (k1, k2, dim)) centroid tiers.
 
@@ -55,7 +101,11 @@ def hierarchical_heads_fit(
     padded copies tie exactly with the original and argmax's first-index
     rule means they are never selected, so no bucket ids are wasted on
     phantom heads beyond the cell's real count.
-    """
+
+    The per-cell Lloyd fit runs on a deterministic hash sample capped at
+    `fit_sample` rows per cell (_sampled_cell_fit_src) — a fit task
+    never materializes a whole coarse cell. Assignment still descends
+    the full corpus."""
     coarse, assigned = kmeans_fit(
         df, k1, id_col=id_col, vec_col=vec_col, iters=coarse_iters
     )
@@ -67,13 +117,14 @@ def hierarchical_heads_fit(
         StructField("n_fine", IntegerType()),
         StructField("centroid", ArrayType(DoubleType())),
     ])
+    cap = fit_sample
 
     def fit_cell(pdf):
         import pandas as pd
 
         from sptag_spark.operators.pq import _np_kmeans
 
-        pdf = pdf.sort_values(id_col, kind="mergesort")
+        pdf = pdf.sort_values(id_col, kind="mergesort").head(cap)
         X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
         kk = min(k2, len(X))
         C = _np_kmeans(X, kk, iters=cell_iters)
@@ -85,8 +136,12 @@ def hierarchical_heads_fit(
             "centroid": [list(map(float, c)) for c in C],
         })
 
+    fit_src = _sampled_cell_fit_src(
+        assigned.select(id_col, vec_col, "cluster"),
+        "cluster", id_col, vec_col, fit_sample,
+    )
     rows = (
-        assigned.select(id_col, vec_col, "cluster")
+        fit_src
         .groupBy("cluster")
         .applyInPandas(fit_cell, schema=out_schema)
         .collect()
@@ -222,13 +277,14 @@ def ivf_build_hierarchical(
 ) -> None:
     """Persist the two-level index: bucketed postings (same layout
     contract as knn.ivf_build) + both centroid tiers as parquet."""
+    from sptag_spark.operators.knn import _write_postings
+
     spark = corpus.sparkSession
     coarse, fine = hierarchical_heads_fit(
         corpus, k1, k2, id_col=id_col, vec_col=vec_col
     )
     bucketed = hierarchical_assign(corpus, coarse, fine, id_col, vec_col)
-    bucketed.write.mode("overwrite").partitionBy("bucket") \
-        .parquet(f"{path}/postings")
+    _write_postings(bucketed, f"{path}/postings", "overwrite")
     k1_, k2_, dim = fine.shape
     spark.createDataFrame(
         [(int(c), [float(x) for x in coarse[c]]) for c in range(k1_)],
@@ -323,13 +379,15 @@ def bkt_fit(
 
     spark = corpus.sparkSession
     fit_src = corpus
-    n_rows = corpus.count()
-    if root_sample and n_rows > root_sample:
-        m0 = 1 << 30
-        frac_keep = min(m0, int(np.ceil(root_sample / n_rows * m0)))
-        fit_src = corpus.filter(
-            F.pmod(F.xxhash64(F.col(id_col), F.lit(-1)), F.lit(m0))
-            < F.lit(frac_keep))
+    if root_sample:
+        # count only when sampling is on — it costs a full corpus scan
+        n_rows = corpus.count()
+        if n_rows > root_sample:
+            m0 = 1 << 30
+            frac_keep = min(m0, int(np.ceil(root_sample / n_rows * m0)))
+            fit_src = corpus.filter(
+                F.pmod(F.xxhash64(F.col(id_col), F.lit(-1)), F.lit(m0))
+                < F.lit(frac_keep))
     coarse, _ = kmeans_fit(
         fit_src, branch, id_col=id_col, vec_col=vec_col,
         iters=coarse_iters)
