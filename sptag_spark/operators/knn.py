@@ -770,9 +770,88 @@ def _write_postings(bucketed: DataFrame, postings_path: str,
     scale and the layout the probe scan wants (a pruned bucket read is
     a sequential file read, the reference's posting-list contiguity,
     ExtraStaticSearcher.h:260-330). The shuffle moves each row once —
-    the same reorganization any posting-list build pays."""
+    the same reorganization any posting-list build pays.
+
+    Overwrite mode (build / compact / merge / reassign rewrites) also
+    refreshes the persisted posting-size table INSIDE the written
+    directory, so the crash-safe directory swap carries sizes and
+    postings as one atomic unit. Append sites refresh their touched
+    buckets themselves (they know the bucket list; a full recount per
+    micro-batch would grow with index size)."""
     bucketed.repartition("bucket").write.mode(mode) \
         .partitionBy("bucket").parquet(postings_path)
+    if mode == "overwrite":
+        _refresh_posting_sizes(bucketed.sparkSession, postings_path)
+
+
+def _refresh_posting_sizes(spark, postings_path: str,
+                           buckets=None) -> None:
+    """Maintain `{postings_path}/_sizes` — the persisted bucket -> RAW
+    posting row count table, the analog of the reference's in-memory
+    m_postingSizes (SPANN keeps posting lengths resident so a search
+    never scans the store to learn them; ExtraDynamicSearcher.h updates
+    them at append/split/merge). The underscore prefix makes the
+    directory invisible to the postings parquet scan and to partition
+    discovery, and it rides the postings directory through the
+    crash-safe compact/merge swaps automatically.
+
+    With `buckets`, only those buckets are recounted (a pruned
+    footer-level scan — no data columns materialize) and merged with
+    the existing table; the recount is from the ACTUAL postings, never
+    an increment, so a replayed append self-heals a crash between the
+    postings write and the sizes write. Without `buckets`, full
+    recount (build/rewrite paths, where the scan is the data just
+    written)."""
+    import pandas as pd
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    sizes_path = f"{postings_path}/_sizes"
+    old = None
+    if buckets is not None:
+        try:
+            old = {int(r["bucket"]): int(r["n"])
+                   for r in spark.read.parquet(sizes_path).collect()}
+        except AnalysisException:
+            old = None   # pre-sizes index: fall through to full recount
+    post = spark.read.parquet(postings_path).select("bucket")
+    if old is None:
+        counts = {int(r["bucket"]): int(r["n"])
+                  for r in post.groupBy("bucket")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    else:
+        bset = sorted({int(b) for b in buckets})
+        fresh = {int(r["bucket"]): int(r["n"])
+                 for r in post.filter(F.col("bucket").isin(bset))
+                 .groupBy("bucket")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        counts = {b: n for b, n in old.items() if b not in set(bset)}
+        counts.update(fresh)
+    items = sorted(counts.items())
+    pdf = pd.DataFrame({
+        "bucket": pd.array([b for b, _ in items], dtype="int64"),
+        "n": pd.array([n for _, n in items], dtype="int64"),
+    })
+    spark.createDataFrame(pdf, schema="bucket long, n long") \
+        .coalesce(1).write.mode("overwrite").parquet(sizes_path)
+
+
+def read_posting_sizes(spark, path: str) -> dict:
+    """bucket -> RAW posting row count from the persisted `_sizes`
+    table (see _refresh_posting_sizes). RAW means tombstoned rows still
+    count until a compact/merge/split rewrites their posting — they
+    occupy posting pages, and the reference's m_postingSizes likewise
+    shrinks only when the posting itself is rewritten. Pre-sizes
+    indexes fall back to a one-off postings aggregate."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return {int(r["bucket"]): int(r["n"]) for r in
+                spark.read.parquet(f"{path}/postings/_sizes").collect()}
+    except AnalysisException:
+        return {int(r["bucket"]): int(r["n"]) for r in
+                spark.read.parquet(f"{path}/postings").select("bucket")
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
 
 
 # ---------------------------------------------------------------------------
@@ -804,23 +883,29 @@ def append_postings_rows(spark, path: str, rows: DataFrame, id_col: str,
     precisely to keep replays on the unchanged-head side of that line.
     The guard checks RAW postings (not tombstone-filtered):
     re-inserting a tombstoned id still requires a compact first, per the
-    ivf_delete contract."""
-    if not idempotent:
-        _write_postings(rows, f"{path}/postings", "append")
-        return
+    ivf_delete contract.
+
+    Both paths end by recounting the TOUCHED buckets into the persisted
+    size table (_refresh_posting_sizes) — a recount from the actual
+    postings, not an increment, so a replayed batch also repairs sizes
+    a crashed earlier attempt left stale."""
     rows = rows.persist()
     try:
         touched = [r["bucket"]
                    for r in rows.select("bucket").distinct().collect()]
         if not touched:
             return
-        existing_pairs = (
-            spark.read.parquet(f"{path}/postings")
-            .filter(F.col("bucket").isin(touched))
-            .select(id_col, "bucket")
-        )
-        fresh = rows.join(existing_pairs, [id_col, "bucket"], "anti")
-        _write_postings(fresh, f"{path}/postings", "append")
+        if idempotent:
+            existing_pairs = (
+                spark.read.parquet(f"{path}/postings")
+                .filter(F.col("bucket").isin(touched))
+                .select(id_col, "bucket")
+            )
+            fresh = rows.join(existing_pairs, [id_col, "bucket"], "anti")
+            _write_postings(fresh, f"{path}/postings", "append")
+        else:
+            _write_postings(rows, f"{path}/postings", "append")
+        _refresh_posting_sizes(spark, f"{path}/postings", buckets=touched)
     finally:
         rows.unpersist()
 
@@ -1068,6 +1153,7 @@ def _sweep_orphan_partitions(spark, path: str) -> None:
     live = {r["centroid_id"]
             for r in spark.read.parquet(f"{path}/centroids")
             .select("centroid_id").collect()}
+    removed = []
     for d in os.listdir(post_dir):
         if not d.startswith("bucket="):
             continue
@@ -1077,6 +1163,9 @@ def _sweep_orphan_partitions(spark, path: str) -> None:
             continue
         if b not in live:
             shutil.rmtree(os.path.join(post_dir, d))
+            removed.append(b)
+    if removed:
+        _refresh_posting_sizes(spark, post_dir, buckets=removed)
 
 
 def _index_work_vec(spark, path: str, df: DataFrame, vec_col: str):
@@ -1267,6 +1356,11 @@ def ivf_split(
         for b in over:
             shutil.rmtree(f"{path}/postings/bucket={b}",
                           ignore_errors=True)
+        # 4) recount the touched buckets into the size table (the split
+        # sources recount to 0 and drop out; the sub-buckets come in)
+        _refresh_posting_sizes(
+            spark, f"{path}/postings",
+            buckets=list(over) + sorted(labels.values()))
         assigned.unpersist()
         n_splits += len(over)
     return n_splits
@@ -1469,6 +1563,7 @@ def _exact_partials_cogrouped(
     q_raw: DataFrame,
     k: int,
     id_col: str,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Per-BUCKET exact-cosine scoring with per-query partial top-`k` —
     the flat-index twin of ivfpq._adc_partials_cogrouped (the
@@ -1546,13 +1641,15 @@ def _exact_partials_cogrouped(
             dots_c = exact_int_matmul(Xq[q0:q1], PV.T)   # (qb, n) int64
             cos = dots_c.astype(np.float64) / (
                 sqrt_na * np.sqrt(nb[q0:q1].astype(np.float64))[:, None])
-            cos[qids[q0:q1, None] == vids[None, :]] = -np.inf  # self last
+            if exclude_self:
+                cos[qids[q0:q1, None] == vids[None, :]] = -np.inf
             s_blk = np.argsort(-cos, axis=1, kind="stable")[:, :r]
             sel[q0:q1] = s_blk
             dots_sel[q0:q1] = np.take_along_axis(dots_c, s_blk, 1)
         out_q = np.repeat(qids, r)
         out_v = vids[sel.reshape(-1)]
-        keep = out_q != out_v
+        keep = (out_q != out_v) if exclude_self \
+            else np.ones(len(out_q), dtype=bool)
         return pa.Table.from_arrays([
             pa.array(out_q[keep]),
             pa.array(out_v[keep]),
@@ -1966,6 +2063,14 @@ def _budgeted_scan(
     The scan then reads ONLY the probed bucket partitions (static
     partition pruning).
 
+    Posting sizes come from the PERSISTED index size table
+    (read_posting_sizes — the reference's resident m_postingSizes), so
+    renting a cursor costs one tiny parquet read, never an index-wide
+    postings scan. The counts are RAW rows: tombstoned rows still
+    occupy posting pages until a compact/merge/split rewrites them, so
+    they count against the page budget — the same accounting as the
+    reference, whose posting lengths shrink only on rewrite.
+
     Monotonicity: within the probed subset pages are exactly sorted, so
     the reference's `gnode.distance > m_Results.worst()` clause never
     fires; the only way order can be violated vs the FULL index is a
@@ -1993,9 +2098,7 @@ def _budgeted_scan(
     order = np.argsort(-hcos, kind="stable")  # ids ascending => id tiebreak
 
     post = read_postings(spark, path, id_col)
-    sizes = {r["bucket"]: r["n"] for r in
-             post.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-             .collect()}
+    sizes = read_posting_sizes(spark, path)
 
     probed, checked = [], 0
     threshold = None

@@ -248,6 +248,100 @@ def test_paged_indexed_budget_truncates_and_flags(emb, spark, tmp_path):
         assert r["relaxed_mono"] == (1 if r["cosine"] < thr else 0)
 
 
+def _actual_raw_sizes(spark, path):
+    return {int(r["bucket"]): int(r["n"]) for r in
+            spark.read.parquet(f"{path}/postings")
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+            .collect()}
+
+
+def test_posting_sizes_persisted_across_lifecycle(emb, spark, tmp_path):
+    """The persisted size table (reference m_postingSizes: resident
+    posting lengths, updated by every maintenance op, never recomputed
+    per search) stays equal to the ACTUAL raw per-bucket counts through
+    build -> append -> delete -> split -> merge -> compact. Deletes
+    leave it unchanged (tombstoned rows still occupy posting pages
+    until a rewrite — raw semantics)."""
+    from sptag_spark.operators.knn import (
+        ivf_append, ivf_build, ivf_compact, ivf_delete, ivf_merge,
+        ivf_split, read_posting_sizes)
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb.filter("vec_id < 300"), n_centroids=8, path=path)
+    assert read_posting_sizes(spark, path) == _actual_raw_sizes(spark, path)
+
+    ivf_append(spark, path, emb.filter("vec_id >= 300"))
+    assert read_posting_sizes(spark, path) == _actual_raw_sizes(spark, path)
+
+    before = read_posting_sizes(spark, path)
+    ivf_delete(spark, path, emb.filter("vec_id % 7 = 0").select("vec_id"))
+    assert read_posting_sizes(spark, path) == before  # raw: unchanged
+    assert read_posting_sizes(spark, path) == _actual_raw_sizes(spark, path)
+
+    ivf_split(spark, path, max_posting_size=60)
+    assert read_posting_sizes(spark, path) == _actual_raw_sizes(spark, path)
+
+    ivf_merge(spark, path, min_posting_size=10)
+    assert read_posting_sizes(spark, path) == _actual_raw_sizes(spark, path)
+
+    ivf_compact(spark, path)
+    after = read_posting_sizes(spark, path)
+    assert after == _actual_raw_sizes(spark, path)
+    # compact folded the tombstones: totals shrank
+    assert sum(after.values()) < sum(before.values())
+
+
+def test_budget_cursor_reads_persisted_sizes_not_postings(emb, spark,
+                                                          tmp_path):
+    """Renting a budgeted cursor must read the size TABLE, not re-scan
+    the postings (the r5 per-cursor index-wide census). Proof by
+    substitution: overwrite _sizes with all-1 counts — if the cursor
+    recomputed sizes from postings it would probe the same buckets as
+    before; reading the doctored table, the same budget now admits
+    every head (cumulative fake size ~ head count < budget)."""
+    import pandas as pd
+
+    from sptag_spark.operators.knn import _budgeted_scan, ivf_build
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb, n_centroids=16, path=path)
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    _, _, probed_true = _budgeted_scan(spark, path, qvec, 60,
+                                       "vec_id", "embedding")
+    n_heads = spark.read.parquet(f"{path}/centroids").count()
+    assert len(probed_true) < n_heads  # the budget really truncates
+    fake = pd.DataFrame({
+        "bucket": pd.array(
+            [r["bucket"] for r in
+             spark.read.parquet(f"{path}/postings/_sizes").collect()],
+            dtype="int64"),
+    })
+    fake["n"] = pd.array([1] * len(fake), dtype="int64")
+    spark.createDataFrame(fake, schema="bucket long, n long") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{path}/postings/_sizes")
+    _, _, probed_fake = _budgeted_scan(spark, path, qvec, 60,
+                                       "vec_id", "embedding")
+    assert len(probed_fake) == n_heads, \
+        "cursor rent must consume the persisted table"
+
+
+def test_read_posting_sizes_falls_back_without_table(emb, spark,
+                                                     tmp_path):
+    """Pre-sizes indexes (no _sizes directory) fall back to a one-off
+    raw postings aggregate — back-compat for indexes built before the
+    table existed."""
+    import shutil
+
+    from sptag_spark.operators.knn import ivf_build, read_posting_sizes
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb, n_centroids=8, path=path)
+    want = read_posting_sizes(spark, path)
+    shutil.rmtree(f"{path}/postings/_sizes")
+    assert read_posting_sizes(spark, path) == want
+
+
 def test_mrr(emb, spark):
     from sptag_spark.operators.knn import brute_force_topk, mrr_at_k
 
