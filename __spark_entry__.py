@@ -998,6 +998,90 @@ WHERE rank <= 50
 """
 
 
+def _q_paged_topk_budget_batch(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Query-FRAME form of the Relaxed-Monotonicity budgeted scan: one
+    declarative plan rents a cursor for a whole wave of queries — the
+    vectorized head walk runs per Arrow batch (no per-query driver
+    round-trips), then the shared pruned-scan tail scores and flags.
+    Row-for-row identical to running relaxed_mono_topk per query
+    (tests/test_knn.py parity gates), so the oracle is the single-query
+    walk partitioned by query_id."""
+    import tempfile
+
+    from sptag_spark.operators.knn import ivf_build, relaxed_mono_topk_batch
+
+    emb = _embeddings(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sptag_ivfpagedb_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ivf_build(emb, n_centroids=32, path=path)
+    queries = emb.filter("vec_id < 6")
+    return relaxed_mono_topk_batch(spark, path, queries, k=20,
+                                   max_check=100)
+
+
+# The batch cursor relationally: the _PAGED_BUDGET_ORACLE walk with
+# every window/aggregate partitioned by query_id — per-query head
+# ranks, cumulative budgets, thresholds and flags.
+_PAGED_BUDGET_BATCH_ORACLE = f"""
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+cent AS (SELECT vec_id AS cid, q AS cq, nrm AS cnrm FROM (
+    SELECT vec_id, q, nrm FROM n
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32)),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT c.vec_id, ct.cid,
+      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        {_COS.format(a='c', b='ct', bq='cq', bn='cnrm')} DESC, ct.cid) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn = 1),
+sizes AS (SELECT bucket, count(*) AS sz FROM assign GROUP BY bucket),
+qy AS (SELECT vec_id AS query_id, q, nrm FROM n WHERE vec_id < 6),
+heads AS (
+  SELECT qy.query_id, ct.cid,
+         {_COS.format(a='qy', b='ct', bq='cq', bn='cnrm')} AS hcos,
+         coalesce(s.sz, 0) AS sz
+  FROM cent ct CROSS JOIN qy LEFT JOIN sizes s ON s.bucket = ct.cid),
+walk AS (
+  SELECT query_id, cid, hcos, sz,
+         row_number() OVER (PARTITION BY query_id
+            ORDER BY hcos DESC, cid) AS hrank,
+         coalesce(sum(sz) OVER (PARTITION BY query_id
+            ORDER BY hcos DESC, cid
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS rows_before
+  FROM heads),
+thr AS (SELECT query_id, max(hcos) AS t FROM walk
+        WHERE NOT (hrank = 1 OR rows_before < 100) AND sz > 0
+        GROUP BY query_id),
+scored AS (
+  SELECT p.query_id, c.vec_id,
+    CAST(list_sum(list_transform(range(1, len(c.q)+1),
+      i -> c.q[i]*qy.q[i])) AS DOUBLE)
+    / (sqrt(CAST(c.nrm AS DOUBLE)) * sqrt(CAST(qy.nrm AS DOUBLE)))
+      AS cosine
+  FROM (SELECT query_id, cid FROM walk
+        WHERE hrank = 1 OR rows_before < 100) p
+  JOIN assign a ON a.bucket = p.cid
+  JOIN n c ON c.vec_id = a.vec_id
+  JOIN qy ON qy.query_id = p.query_id)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank,
+       CAST(CASE WHEN thr.t IS NOT NULL AND cosine < thr.t
+            THEN 1 ELSE 0 END AS INT) AS relaxed_mono
+FROM (SELECT query_id, vec_id, cosine,
+        row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored) r LEFT JOIN thr USING (query_id)
+WHERE rank <= 20
+"""
+
+
 def _q_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered ANN as one query (reference SearchIndexWithFilter,
     VectorIndex.h:59): metadata predicate pushed below the scoring join
@@ -1830,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_replica_topk": _q_ivf_replica,
         "filtered_knn_topk": _q_filtered_knn,
         "paged_topk_budget": _q_paged_topk_budget,
+        "paged_topk_budget_batch": _q_paged_topk_budget_batch,
         "lsh_near_dup": _q_lsh_near_dup,
         "pq_adc_topk": _q_pq_adc,
         "ivf_pq_adc_topk": _q_ivf_pq,
@@ -1883,6 +1968,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_replica_topk": _IVF_REPLICA_ORACLE,
         "filtered_knn_topk": _FILTERED_KNN_ORACLE,
         "paged_topk_budget": _PAGED_BUDGET_ORACLE,
+        "paged_topk_budget_batch": _PAGED_BUDGET_BATCH_ORACLE,
         "lsh_near_dup": _LSH_NEAR_DUP_ORACLE,
         "pq_adc_topk": _pq_adc_oracle(4, 16, 64, 10),
         "ivf_pq_adc_topk": _ivf_pq_oracle(),

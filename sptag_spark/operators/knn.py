@@ -2171,6 +2171,189 @@ def relaxed_mono_topk(
     )
 
 
+def _budgeted_probes_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    max_check: int | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Vectorized form of _budgeted_scan's head walk over a QUERIES
+    DataFrame: per Arrow batch, one exact int matmul ranks every head
+    for every query, then the budget walk (probe while rows-before <
+    max_check, threshold = best unprobed non-empty head) runs as numpy
+    prefix arithmetic per query — no driver round-trips, no per-query
+    jobs. Emits (query_id, bucket, __thr): the probe frame the shared
+    pruned-scan tail consumes, with the query's Relaxed-Monotonicity
+    threshold riding every probe row (nullable — null means nothing
+    was truncated).
+
+    Head cosines, tiebreaks, probe sets and thresholds are
+    BIT-IDENTICAL to the per-query driver walk: same quantization
+    (np_quantize HALF_UP), same exact integer matmul, same IEEE op
+    order (dot / (qnorm * cent_norm)), same stable argsort over
+    ascending head ids, and posting sizes from the same persisted
+    _sizes table (read_posting_sizes) broadcast once in the closure."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
+    sizes = read_posting_sizes(spark, path)
+    cent_id_arr = np.asarray(cent_ids, dtype=np.int64)
+    size_arr = np.asarray([sizes.get(int(c), 0) for c in cent_ids],
+                          dtype=np.int64)
+    n_heads = len(cent_id_arr)
+
+    out_schema = StructType([
+        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("bucket", LongType()),
+        StructField("__thr", DoubleType()),
+    ])
+    arrow_out = to_arrow_schema(out_schema)
+
+    def run(batches):
+        for batch in batches:
+            X = list_to_matrix(batch.column(vec_col), np.float64)
+            if len(X) == 0:
+                continue
+            qid = batch.column(id_col)
+            if isinstance(qid, pa.ChunkedArray):
+                qid = qid.combine_chunks()
+            qids = qid.to_numpy(zero_copy_only=False)
+            Q = np_quantize(X)
+            dots = exact_int_matmul(Q, cent_mat.T)      # (nq, C) exact
+            qn = np.sqrt((Q * Q).sum(1).astype(np.float64))
+            out_q, out_b, out_t = [], [], []
+            for r in range(len(X)):
+                hcos = dots[r] / (qn[r] * cent_norms)
+                order = np.argsort(-hcos, kind="stable")
+                if max_check is None:
+                    probed, thr = cent_id_arr[order], None
+                else:
+                    sz = size_arr[order]
+                    rows_before = np.concatenate(
+                        ([0], np.cumsum(sz[:-1])))
+                    # rows_before is monotone, so the mask is a prefix:
+                    # exactly the sequential walk's probe set
+                    npb = max(1, int((rows_before < max_check).sum()))
+                    probed = cent_id_arr[order[:npb]]
+                    rest = np.nonzero(sz[npb:] > 0)[0]
+                    thr = (float(hcos[order[npb + rest[0]]])
+                           if rest.size else None)
+                out_q.extend([qids[r]] * len(probed))
+                out_b.extend(int(b) for b in probed)
+                out_t.extend([thr] * len(probed))
+            yield pa.RecordBatch.from_arrays([
+                pa.array(out_q).cast(arrow_out.field("query_id").type),
+                pa.array(out_b, pa.int64()),
+                pa.array(out_t, pa.float64()),
+            ], schema=arrow_out)
+
+    assert n_heads > 0, f"empty centroid table under {path}"
+    return queries.select(id_col, vec_col).mapInArrow(
+        run, schema=out_schema)
+
+
+def relaxed_mono_topk_batch(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 50,
+    max_check: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    predicate=None,
+    probe_mode: str = "auto",
+    driver_probe_limit: int = 10_000,
+    probe_scratch_dir: str | None = None,
+) -> DataFrame:
+    """Query-FRAME form of the Relaxed-Monotonicity budgeted scan
+    (VERDICT r5 missing #2): one declarative plan serves a whole wave
+    of VBASE-style consumers — the reference's iterator is per-query
+    (ResultIterator.cpp:28-57), but Spark's win is batch. Row-for-row
+    parity with relaxed_mono_topk on every query: same probe sets,
+    thresholds, cosines, ranks and relaxed_mono flags (self NOT
+    excluded — the cursor returns whatever lives in the probed
+    postings, reference semantics).
+
+    Probe selection reuses _resolve_probes: small waves inline the
+    bucket set as a static IN filter (one driver trip for the WHOLE
+    wave, not one per query); large waves write the probe frame to a
+    side table and prune via DPP, scoring through the cogrouped Arrow
+    kernel so the candidate blowup never becomes Spark rows."""
+    probes = _budgeted_probes_batch(
+        spark, path, queries, max_check, id_col, vec_col)
+    mode, probes_resolved, prune = _resolve_probes(
+        spark, path, probes, queries, probe_mode, driver_probe_limit,
+        scratch_dir=probe_scratch_dir)
+    thresholds = probes_resolved.select("query_id", "__thr") \
+        .dropDuplicates(["query_id"])
+    postings = read_postings(spark, path, id_col)
+    replicated = "replica_rank" in postings.columns
+    if predicate is not None:
+        postings = postings.filter(predicate)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc())
+    flag = F.when(F.col("__thr").isNotNull()
+                  & (F.col("cosine") < F.col("__thr")), 1).otherwise(0)
+    if mode == "join":
+        post_kern = prune(postings.select(
+            id_col, "bucket", F.col(vec_col).alias("__pe")))
+        q_raw = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qe"))
+        partial = _exact_partials_cogrouped(
+            post_kern, probes_resolved.select("query_id", "bucket"),
+            q_raw, k, id_col, exclude_self=False)
+        if replicated:
+            partial = partial.repartition("query_id") \
+                .dropDuplicates(["query_id", id_col])
+        nbf = F.broadcast(queries.select(
+            F.col(id_col).alias("query_id"),
+            idot(quantize(F.col(vec_col)),
+                 quantize(F.col(vec_col))).alias("_nb")))
+        scored = (partial.join(nbf, "query_id")
+                  .withColumn("cosine", cosine_from_quantized(
+                      F.col("_dot"), F.col("_na"), F.col("_nb"))))
+    else:
+        qf = F.broadcast(
+            queries.select(F.col(id_col).alias("query_id"),
+                           quantize(F.col(vec_col)).alias("_qq"))
+            .withColumn("_qn", idot(F.col("_qq"), F.col("_qq"))))
+        cand = prune(postings).join(
+            probes_resolved.select("query_id", "bucket"), "bucket")
+        if replicated:
+            # replica copies score identically: one candidate per
+            # (query, vector); repartition first so ONE exchange serves
+            # the dedup and the rank window (CLAUDE.md rule 17)
+            cand = cand.drop("bucket", "replica_rank") \
+                .repartition("query_id") \
+                .dropDuplicates(["query_id", id_col])
+        scored = (
+            cand.join(qf, "query_id")
+            .withColumn("_pq", quantize(F.col(vec_col)))
+            .select(
+                "query_id", F.col(id_col),
+                cosine_from_quantized(
+                    idot(F.col("_pq"), F.col("_qq")),
+                    idot(F.col("_pq"), F.col("_pq")),
+                    F.col("_qn"),
+                ).alias("cosine"),
+            ))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .join(thresholds, "query_id")
+        .withColumn("relaxed_mono", flag.cast("int"))
+        .select("query_id", id_col, "cosine", "rank", "relaxed_mono")
+    )
+
+
 def paged_topk_indexed(
     spark,
     path: str,

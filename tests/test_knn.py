@@ -342,6 +342,114 @@ def test_read_posting_sizes_falls_back_without_table(emb, spark,
     assert read_posting_sizes(spark, path) == want
 
 
+def _batch_rows(df):
+    return sorted(
+        (r["query_id"], r["vec_id"], r["cosine"], r["rank"],
+         r["relaxed_mono"]) for r in df.collect())
+
+
+def _perquery_rows(spark, path, emb, qids, k, max_check, predicate=None):
+    from sptag_spark.operators.knn import relaxed_mono_topk
+
+    out = []
+    for qid in qids:
+        qvec = [float(x) for x in
+                emb.filter(f"vec_id = {qid}").first()["embedding"]]
+        for r in relaxed_mono_topk(spark, path, qvec, k=k,
+                                   max_check=max_check,
+                                   predicate=predicate).collect():
+            out.append((qid, r["vec_id"], r["cosine"], r["rank"],
+                        r["relaxed_mono"]))
+    return sorted(out)
+
+
+def test_batch_budget_cursor_parity_with_per_query(emb, spark, tmp_path):
+    """relaxed_mono_topk_batch == relaxed_mono_topk on EVERY query:
+    same probe sets, cosines, ranks and relaxed_mono flags (the
+    VERDICT r5 missing-#2 'done' gate) — in both probe modes, so the
+    wave path's cogrouped kernel is held to the same bits."""
+    from sptag_spark.operators.knn import ivf_build, relaxed_mono_topk_batch
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb, n_centroids=16, path=path)
+    qids = [0, 3, 11, 42]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    want = _perquery_rows(spark, path, emb, qids, k=20, max_check=80)
+    for mode in ("driver", "join"):
+        got = _batch_rows(relaxed_mono_topk_batch(
+            spark, path, queries, k=20, max_check=80, probe_mode=mode,
+            probe_scratch_dir=str(tmp_path / "scratch")))
+        assert got == want, mode
+    # some query must actually truncate + flag or the test is vacuous
+    assert any(f == 1 for *_, f in want)
+
+
+def test_batch_budget_cursor_no_budget_and_predicate(emb, spark,
+                                                     tmp_path):
+    """max_check=None probes everything and never flags; a predicate
+    gates results inside the same pruned scan (p_filterFunc) — both
+    must match the per-query cursor row-for-row."""
+    from sptag_spark.operators.knn import ivf_build, relaxed_mono_topk_batch
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb, n_centroids=8, path=path)
+    qids = [1, 7]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got = _batch_rows(relaxed_mono_topk_batch(
+        spark, path, queries, k=15, max_check=None))
+    want = _perquery_rows(spark, path, emb, qids, k=15, max_check=None)
+    assert got == want
+    assert all(f == 0 for *_, f in got)
+
+    pred = "vec_id % 3 = 0"
+    got = _batch_rows(relaxed_mono_topk_batch(
+        spark, path, queries, k=15, max_check=60, predicate=pred))
+    want = _perquery_rows(spark, path, emb, qids, k=15, max_check=60,
+                          predicate=pred)
+    assert got == want
+    assert all(v % 3 == 0 for _, v, *_ in got)
+
+
+def test_batch_budget_cursor_replica_dedup(emb, spark, tmp_path):
+    """Over a replicated index the batch cursor scores each vector once
+    per query (visited-set P5), matching the per-query walk."""
+    from sptag_spark.operators.knn import ivf_build, relaxed_mono_topk_batch
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb, n_centroids=8, path=path, replica_count=2)
+    qids = [0, 5]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    got = _batch_rows(relaxed_mono_topk_batch(
+        spark, path, queries, k=12, max_check=120))
+    want = _perquery_rows(spark, path, emb, qids, k=12, max_check=120)
+    assert got == want
+    seen = {(q, v) for q, v, *_ in got}
+    assert len(seen) == len(got)  # one row per (query, vector)
+
+
+def test_batch_budget_cursor_wave_runs_as_one_plan(emb, spark, tmp_path):
+    """A full-corpus wave (every vector as a query) through the join
+    path: one plan, no per-query driver walks; sanity-gated by each
+    query ranking itself first (self not excluded, budget >= its own
+    posting)."""
+    from sptag_spark.operators.knn import ivf_build, relaxed_mono_topk_batch
+
+    path = str(tmp_path / "idx")
+    ivf_build(emb, n_centroids=16, path=path)
+    res = relaxed_mono_topk_batch(
+        spark, path, emb, k=3, max_check=200, probe_mode="join",
+        probe_scratch_dir=str(tmp_path / "scratch")).cache()
+    try:
+        n_q = emb.count()
+        firsts = res.filter("rank = 1").collect()
+        assert len(firsts) == n_q
+        # cosine(v, v) is 1.0 only up to sqrt(n)*sqrt(n) rounding
+        assert all(r["query_id"] == r["vec_id"]
+                   and abs(r["cosine"] - 1.0) < 1e-12 for r in firsts)
+    finally:
+        res.unpersist()
+
+
 def test_mrr(emb, spark):
     from sptag_spark.operators.knn import brute_force_topk, mrr_at_k
 
