@@ -202,6 +202,20 @@ def main(argv: list[str] | None = None) -> int:
         metrics["heads"] = spark.read.parquet(
             f"{args.index}/centroids").count()
     elif args.cmd == "reassign":
+        if _is_bkt(args.index):
+            # ivf_reassign re-places every row by flat nearest-head,
+            # silently desynchronizing bucket contents from the tree's
+            # greedy descent: probes stay correct at full coverage but
+            # low-nprobe recall and the leaf_max bound degrade. Reject,
+            # like search's unsupported flags; a rebuild restores tree
+            # routing quality.
+            print(json.dumps({"error": "reassign is not supported for "
+                              "bkt indexes (flat nearest-head placement "
+                              "desynchronizes bucket contents from the "
+                              "tree descent; rebuild with "
+                              "`build --type bkt` instead)"}))
+            spark.stop()
+            return 2
         metrics["moved"] = knn.ivf_reassign(spark, args.index)
         metrics["rows"] = spark.read.parquet(
             f"{args.index}/postings").count()

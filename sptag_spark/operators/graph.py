@@ -33,6 +33,7 @@ float64) so results are reproducible everywhere.
 from __future__ import annotations
 
 import math
+import threading
 
 import numpy as np
 import pandas as pd
@@ -193,10 +194,16 @@ def _np_descend(pos, P, lv, depth, node, out):
     _np_descend(pos[right], P[right], lv + 1, depth, node * 2 + 1, out)
 
 
-# one-slot cache registry for _tpt_stage's exploded-projection persist
-# (see the comment at the persist site); assumes builds run one at a
-# time per session, like the index build/compact paths
-_STAGE_CACHE: list = []
+# one-slot-per-SparkSession cache registry for _tpt_stage's
+# exploded-projection persist (see the comment at the persist site).
+# Keyed by session so concurrent builds in DIFFERENT sessions never
+# evict each other; the lock keeps pop/insert races from leaking a
+# persist. Within one session the documented assumption stands: builds
+# run one at a time (a second build evicts the first's cache, so a
+# caller holding an unmaterialized lazy plan from a prior build must
+# materialize it first).
+_STAGE_CACHE: dict = {}
+_STAGE_LOCK = threading.Lock()
 
 
 def _tpt_stage(
@@ -297,13 +304,18 @@ def _tpt_stage(
     if window_levels:
         # The cache serves the per-level stats subtrees of the CALLER'S
         # eventual action, so it cannot unpersist here (the plan is
-        # lazy). A one-slot registry evicts the previous build's cache
-        # instead: repeated builds in one session pin at most ONE
-        # N*trees-row frame rather than accumulating one per call.
-        while _STAGE_CACHE:
-            _STAGE_CACHE.pop().unpersist()
+        # lazy). A one-slot-per-session registry evicts the previous
+        # build's cache instead: repeated builds in one session pin at
+        # most ONE N*trees-row frame rather than accumulating one per
+        # call.
+        sess = df.sparkSession
+        with _STAGE_LOCK:
+            prev = _STAGE_CACHE.pop(sess, None)
+        if prev is not None:
+            prev.unpersist()
         cur = cur.persist()
-        _STAGE_CACHE.append(cur)
+        with _STAGE_LOCK:
+            _STAGE_CACHE[sess] = cur
     for lv in range(window_levels):
         # mean split, zero data shuffle: the per-node stats are a tiny
         # map-side-combinable aggregate (<= trees * 2^lv rows) joined

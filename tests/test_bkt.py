@@ -418,3 +418,40 @@ def test_short_cell_padding_never_selected(spark):
     out = hierarchical_assign(df, coarse, fine).collect()
     # only real slots (cell had 3 members -> <= 3 distinct buckets)
     assert all(r["bucket"] < 3 for r in out)
+
+
+def test_cli_reassign_rejects_bkt_index(spark, emb_small, tmp_path,
+                                        monkeypatch):
+    """`ann_index.py reassign` must refuse bkt indexes (ADVICE r5):
+    ivf_reassign's flat nearest-head placement would silently
+    desynchronize bucket contents from the tree's greedy descent.
+    In-process main (the spark-submit chain is covered by the lifecycle
+    test); stop() is patched out so the shared test session survives
+    the reject path."""
+    import contextlib
+    import importlib.util
+    import io
+    import json
+    import os
+
+    from sptag_spark.operators.bkt import bkt_build
+
+    spec = importlib.util.spec_from_file_location(
+        "ann_index_job", os.path.join(os.path.dirname(__file__),
+                                      "..", "jobs", "ann_index.py"))
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    path = str(tmp_path / "idx")
+    bkt_build(emb_small, path, branch=4, leaf_max=64, max_levels=3)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(["reassign", "--index", path])
+    assert rc == 2
+    msg = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert "not supported for bkt" in msg["error"]
+    # the index itself is untouched
+    post = spark.read.parquet(f"{path}/postings")
+    assert post.count() == emb_small.count()
