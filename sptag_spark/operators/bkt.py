@@ -28,7 +28,11 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sptag_spark.functions.vecarrow import list_to_matrix
+from sptag_spark.functions.vecarrow import (
+    exact_int_matmul,
+    list_to_matrix,
+    np_quantize,
+)
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -529,6 +533,119 @@ def _children_index(parent: np.ndarray):
     return idx
 
 
+def _reconcile_heads(spark, path: str, cents: np.ndarray,
+                     is_leaf: np.ndarray):
+    """Reconcile the tree against the flat `centroids` table (the
+    lifecycle-evolved head set): returns (live_leaf_ids,
+    (orphan_ids, orphan_matrix) | None).
+
+    A head is a LIVE tree leaf only if its id is a leaf AND its stored
+    vector equals the tree's centroid bit-for-bit (both were written
+    from the same floats at build time). The id test alone is not
+    enough: ivf_split mints ids above max(centroid_id), and after
+    ivf_merge retires high-id leaves that max can dip below a retired
+    leaf's id — a re-minted id would otherwise be routed by the DEAD
+    leaf's stale tree centroid instead of flat-scored by its real head
+    vector. Shared by bkt_probe and the budgeted cursor's descent walk
+    (knn._budgeted_scan)."""
+    head_rows = spark.read.parquet(f"{path}/centroids").collect()
+    live: set[int] = set()
+    orphan_rows = []
+    for r in head_rows:
+        hid = int(r["centroid_id"])
+        if (0 <= hid < len(is_leaf) and is_leaf[hid]
+                and np.array_equal(
+                    np.asarray(r["centroid_vec"], dtype=np.float64),
+                    cents[hid])):
+            live.add(hid)
+        else:
+            orphan_rows.append((hid, r["centroid_vec"]))
+    orphan_rows.sort(key=lambda t: t[0])
+    orphans = None
+    if orphan_rows:
+        orphans = (
+            np.asarray([i for i, _ in orphan_rows], dtype=np.int64),
+            np.asarray([[float(x) for x in v] for _, v in orphan_rows],
+                       dtype=np.float64),
+        )
+    return live, orphans
+
+
+def _descent_walker(parent: np.ndarray, cents: np.ndarray,
+                    is_leaf: np.ndarray, live: "set[int]",
+                    orphans: "tuple[np.ndarray, np.ndarray] | None"):
+    """Factory for the reference's SPTQueue best-first descent
+    (BKTree.h:799-865) as a head-ORDER generator: the returned
+    `walk(q)` yields (head_id, cosine) — a priority queue over
+    (−cosine, node id) seeded with the roots; popping an internal node
+    scores+pushes its children, popping a LIVE leaf emits it. This is
+    the probe order the budgeted cursor rents against a bkt index — the
+    tree's own frontier, not a flat global sort, so renting costs
+    O(visited·branch) head scores instead of O(C) at large head counts.
+    The quantized node/orphan matrices are built ONCE here and shared by
+    every walk (one factory per batch/cursor, one walk per query).
+
+    `q` is the np_quantize'd query (int64). Node cosines use the
+    engine's exact integer matmul + IEEE op order
+    (dot / (qnorm · node_norm)), so a live leaf's cosine is
+    BIT-IDENTICAL to the flat walk's value for the same head (the flat
+    centroid row IS the tree centroid, byte-for-byte, per
+    _reconcile_heads). Maintenance-born orphan heads are flat-scored
+    once per query and merged into the stream by (cosine DESC, id ASC)
+    — the same tiebreak bkt_probe applies."""
+    import heapq
+
+    cq = np_quantize(cents)
+    cnorm = np.sqrt((cq * cq).sum(axis=1).astype(np.float64))
+    children = {n: np.asarray(c, dtype=np.int64)
+                for n, c in _children_index(parent).items()}
+    roots = np.where(parent < 0)[0].astype(np.int64)
+    if orphans is not None:
+        oids, omat = orphans
+        oq = np_quantize(omat)
+        onorm = np.sqrt((oq * oq).sum(axis=1).astype(np.float64))
+    else:
+        oids = None
+
+    def walk(q: np.ndarray):
+        qn = float(np.sqrt(float((q * q).sum())))
+
+        def _cos(nodes: np.ndarray) -> np.ndarray:
+            dots = exact_int_matmul(q[None, :], cq[nodes].T)[0]
+            return dots / (qn * cnorm[nodes])
+
+        orph: list[tuple[float, int]] = []
+        if oids is not None:
+            ocos = exact_int_matmul(q[None, :], oq.T)[0] / (qn * onorm)
+            orph = sorted(
+                ((float(c), int(i)) for c, i in zip(ocos, oids)),
+                key=lambda t: (-t[0], t[1]))
+        oi = 0
+        heap = [(-float(c), int(n)) for c, n in zip(_cos(roots), roots)]
+        heapq.heapify(heap)
+        while heap:
+            negc, nd = heapq.heappop(heap)
+            if is_leaf[nd]:
+                if nd not in live:
+                    continue
+                c = -negc
+                while oi < len(orph) and (
+                        orph[oi][0] > c
+                        or (orph[oi][0] == c and orph[oi][1] < nd)):
+                    yield orph[oi][1], orph[oi][0]
+                    oi += 1
+                yield nd, c
+            else:
+                ch = children[nd]
+                for c2, n2 in zip(_cos(ch), ch):
+                    heapq.heappush(heap, (-float(c2), int(n2)))
+        while oi < len(orph):
+            yield orph[oi][1], orph[oi][0]
+            oi += 1
+
+    return walk
+
+
 def bkt_assign(
     corpus: DataFrame,
     parent: np.ndarray,
@@ -755,34 +872,7 @@ def bkt_probe(
     from sptag_spark.operators.knn import probe_pruned_topk
 
     parent, cents, is_leaf = _read_tree(spark, path)
-    head_rows = spark.read.parquet(f"{path}/centroids").collect()
-    # A head is a LIVE tree leaf only if its id is a leaf AND its stored
-    # vector equals the tree's centroid bit-for-bit (both were written
-    # from the same floats at build time). The id test alone is not
-    # enough: ivf_split mints ids above max(centroid_id), and after
-    # ivf_merge retires high-id leaves that max can dip below a retired
-    # leaf's id — a re-minted id would otherwise be routed by the DEAD
-    # leaf's stale tree centroid instead of flat-scored by its real
-    # head vector.
-    live = set()
-    orphan_rows = []
-    for r in head_rows:
-        hid = int(r["centroid_id"])
-        if (0 <= hid < len(is_leaf) and is_leaf[hid]
-                and np.array_equal(
-                    np.asarray(r["centroid_vec"], dtype=np.float64),
-                    cents[hid])):
-            live.add(hid)
-        else:
-            orphan_rows.append((hid, r["centroid_vec"]))
-    orphan_rows.sort(key=lambda t: t[0])
-    orphans = None
-    if orphan_rows:
-        orphans = (
-            np.asarray([i for i, _ in orphan_rows], dtype=np.int64),
-            np.asarray([[float(x) for x in v] for _, v in orphan_rows],
-                       dtype=np.float64),
-        )
+    live, orphans = _reconcile_heads(spark, path, cents, is_leaf)
     probes = _probe_buckets_bkt(
         queries, parent, cents, is_leaf, nprobe, id_col, vec_col,
         live_ids=live, orphans=orphans)

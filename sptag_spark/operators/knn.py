@@ -2047,21 +2047,31 @@ def _budgeted_scan(
     id_col: str,
     vec_col: str,
     predicate=None,
+    walk: str = "auto",
 ):
     """Shared tail for the Relaxed-Monotonicity iterative scan
     (reference Q4: ResultIterator.cpp:28-57 rents a WorkSpace with
     p_maxCheck; BKTIndex.cpp:431-434 flips m_relaxedMono once results
     stop being provably monotone).
 
-    Spark restatement over the persisted IVF index: rank ALL heads by
-    exact quantized cosine to the query (driver-side — the head table is
-    tiny by construction, same bound as _collect_centroids), then walk
-    them best-first accumulating posting sizes. A head is probed iff it
-    is the nearest head or the rows checked before it are still under
-    `max_check` — the workspace budget, counted in posting rows exactly
-    like the reference counts checked leaves (m_iNumberOfCheckedLeaves).
-    The scan then reads ONLY the probed bucket partitions (static
-    partition pruning).
+    Spark restatement over the persisted index: rank heads best-first
+    (driver-side — the head structures are tiny by construction, same
+    bound as _collect_centroids), then walk them accumulating posting
+    sizes. A head is probed iff it is the nearest head or the rows
+    checked before it are still under `max_check` — the workspace
+    budget, counted in posting rows exactly like the reference counts
+    checked leaves (m_iNumberOfCheckedLeaves). The scan then reads ONLY
+    the probed bucket partitions (static partition pruning).
+
+    `walk` picks the head ORDER: 'flat' sorts every head globally by
+    exact quantized cosine (the IVF shape); 'tree' walks the persisted
+    BKT tree in the reference's SPTQueue best-first descent order
+    (bkt._descent_head_order — the index's own frontier, so renting a
+    cursor at large head counts scores O(visited·branch) heads, not
+    O(C)). 'auto' selects by the index's persisted index_type. On a
+    one-level tree the two orders coincide bit-for-bit (live-leaf
+    cosines are identical by construction); on deeper trees the tree
+    walk is the approximate-descent order the index was built for.
 
     Posting sizes come from the PERSISTED index size table
     (read_posting_sizes — the reference's resident m_postingSizes), so
@@ -2085,32 +2095,45 @@ def _budgeted_scan(
     probed_bucket_ids)."""
     import numpy as np
 
-    centroids = spark.read.parquet(f"{path}/centroids")
-    cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
     # HALF_UP quantization (np_quantize) — Python round() is HALF_EVEN
     # and would diverge from the centroid matrix + oracle on exact ties
     q = np_quantize(np.asarray([query_vec], dtype=np.float64))[0]
     qnorm = float(np.sqrt(float((q * q).sum())))
-    # Same op order as _nearest_centroid_kernel / the _COS oracle:
-    # dot / (sqrt(na) * sqrt(nb)), query norm first — IEEE-bit-identical.
-    dots = exact_int_matmul(q[None, :], cent_mat.T)[0]
-    hcos = dots / (qnorm * cent_norms)
-    order = np.argsort(-hcos, kind="stable")  # ids ascending => id tiebreak
+    if walk == "auto":
+        walk = ("tree" if read_index_meta(spark, path)
+                .get("index_type") == "bkt" else "flat")
+    if walk == "tree":
+        from sptag_spark.operators import bkt as _bkt
+
+        parent, cents, is_leaf = _bkt._read_tree(spark, path)
+        live, orphans = _bkt._reconcile_heads(spark, path, cents, is_leaf)
+        head_order = _bkt._descent_walker(
+            parent, cents, is_leaf, live, orphans)(q)
+    else:
+        centroids = spark.read.parquet(f"{path}/centroids")
+        cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
+        # Same op order as _nearest_centroid_kernel / the _COS oracle:
+        # dot / (sqrt(na)*sqrt(nb)), query norm first — IEEE-bit-identical.
+        dots = exact_int_matmul(q[None, :], cent_mat.T)[0]
+        hcos = dots / (qnorm * cent_norms)
+        # stable sort over ids ascending => (cosine DESC, id ASC) tiebreak
+        order = np.argsort(-hcos, kind="stable")
+        head_order = ((cent_ids[idx], float(hcos[idx])) for idx in order)
 
     post = read_postings(spark, path, id_col)
     sizes = read_posting_sizes(spark, path)
 
     probed, checked = [], 0
     threshold = None
-    for pos, idx in enumerate(order):
-        cid = cent_ids[idx]
+    for pos, (cid, hc) in enumerate(head_order):
         if pos == 0 or max_check is None or checked < max_check:
             probed.append(cid)
             checked += sizes.get(cid, 0)
         elif sizes.get(cid, 0) > 0:
             # first unprobed non-empty head in best-first order = the
-            # monotone frontier (heads after it have lower cosine)
-            threshold = float(hcos[idx])
+            # monotone frontier (for the tree walk: the frontier of the
+            # index's OWN descent — heads the queue would pop later)
+            threshold = float(hc)
             break
 
     scan = post.filter(F.col("bucket").isin([int(c) for c in probed]))
@@ -2150,14 +2173,16 @@ def relaxed_mono_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     predicate=None,
+    walk: str = "auto",
 ) -> DataFrame:
     """Batch form of the budgeted iterative scan: top-k of the
     budget-pruned index scan with the per-row relaxed_mono flag — the
     frame a VBASE-style consumer sees after draining the cursor. One
     declarative plan (pruned scan → top-k), used by the contract query;
-    paged_topk_indexed serves the same rows as a cursor."""
+    paged_topk_indexed serves the same rows as a cursor. On a bkt index
+    the head walk follows the tree's SPTQueue descent (walk='auto')."""
     scan, _, _ = _budgeted_scan(spark, path, query_vec, max_check,
-                                id_col, vec_col, predicate)
+                                id_col, vec_col, predicate, walk=walk)
     return (
         scan.orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
@@ -2178,6 +2203,7 @@ def _budgeted_probes_batch(
     max_check: int | None,
     id_col: str,
     vec_col: str,
+    walk: str = "auto",
 ) -> DataFrame:
     """Vectorized form of _budgeted_scan's head walk over a QUERIES
     DataFrame: per Arrow batch, one exact int matmul ranks every head
@@ -2194,20 +2220,40 @@ def _budgeted_probes_batch(
     (np_quantize HALF_UP), same exact integer matmul, same IEEE op
     order (dot / (qnorm * cent_norm)), same stable argsort over
     ascending head ids, and posting sizes from the same persisted
-    _sizes table (read_posting_sizes) broadcast once in the closure."""
+    _sizes table (read_posting_sizes) broadcast once in the closure.
+
+    On a bkt index (walk='auto' → 'tree') each query instead runs the
+    SPTQueue best-first tree descent inside the kernel
+    (bkt._descent_walker — quantized matrices built once per task,
+    heapq walk per query) with the SAME sequential budget rule, so
+    batch == per-query parity holds for tree indexes too."""
     import numpy as np
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
-    centroids = spark.read.parquet(f"{path}/centroids")
-    cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
     sizes = read_posting_sizes(spark, path)
-    cent_id_arr = np.asarray(cent_ids, dtype=np.int64)
-    size_arr = np.asarray([sizes.get(int(c), 0) for c in cent_ids],
-                          dtype=np.int64)
-    n_heads = len(cent_id_arr)
+    if walk == "auto":
+        walk = ("tree" if read_index_meta(spark, path)
+                .get("index_type") == "bkt" else "flat")
+    if walk == "tree":
+        from sptag_spark.operators import bkt as _bkt
+
+        parent, cents, is_leaf = _bkt._read_tree(spark, path)
+        live, orphans = _bkt._reconcile_heads(spark, path, cents, is_leaf)
+        _descent_factory = _bkt._descent_walker
+        n_heads = len(live) + (len(orphans[0]) if orphans else 0)
+        cent_ids = cent_mat = cent_norms = None
+    else:
+        centroids = spark.read.parquet(f"{path}/centroids")
+        cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
+        n_heads = len(cent_ids)
+    cent_id_arr = (np.asarray(cent_ids, dtype=np.int64)
+                   if cent_ids is not None else None)
+    size_arr = (np.asarray([sizes.get(int(c), 0) for c in cent_ids],
+                           dtype=np.int64)
+                if cent_ids is not None else None)
 
     out_schema = StructType([
         StructField("query_id", queries.schema[id_col].dataType),
@@ -2217,6 +2263,9 @@ def _budgeted_probes_batch(
     arrow_out = to_arrow_schema(out_schema)
 
     def run(batches):
+        if walk == "tree":
+            tree_walk = _descent_factory(parent, cents, is_leaf,
+                                         live, orphans)
         for batch in batches:
             X = list_to_matrix(batch.column(vec_col), np.float64)
             if len(X) == 0:
@@ -2226,6 +2275,29 @@ def _budgeted_probes_batch(
                 qid = qid.combine_chunks()
             qids = qid.to_numpy(zero_copy_only=False)
             Q = np_quantize(X)
+            if walk == "tree":
+                out_q, out_b, out_t = [], [], []
+                for r in range(len(X)):
+                    # the sequential budget rule, verbatim
+                    probed, checked, thr = [], 0, None
+                    for pos, (cid, hc) in enumerate(tree_walk(Q[r])):
+                        if (pos == 0 or max_check is None
+                                or checked < max_check):
+                            probed.append(int(cid))
+                            checked += sizes.get(int(cid), 0)
+                        elif sizes.get(int(cid), 0) > 0:
+                            thr = float(hc)
+                            break
+                    out_q.extend([qids[r]] * len(probed))
+                    out_b.extend(probed)
+                    out_t.extend([thr] * len(probed))
+                yield pa.RecordBatch.from_arrays([
+                    pa.array(out_q).cast(
+                        arrow_out.field("query_id").type),
+                    pa.array(out_b, pa.int64()),
+                    pa.array(out_t, pa.float64()),
+                ], schema=arrow_out)
+                continue
             dots = exact_int_matmul(Q, cent_mat.T)      # (nq, C) exact
             qn = np.sqrt((Q * Q).sum(1).astype(np.float64))
             out_q, out_b, out_t = [], [], []
@@ -2271,6 +2343,7 @@ def relaxed_mono_topk_batch(
     probe_mode: str = "auto",
     driver_probe_limit: int = 10_000,
     probe_scratch_dir: str | None = None,
+    walk: str = "auto",
 ) -> DataFrame:
     """Query-FRAME form of the Relaxed-Monotonicity budgeted scan
     (VERDICT r5 missing #2): one declarative plan serves a whole wave
@@ -2287,7 +2360,7 @@ def relaxed_mono_topk_batch(
     side table and prune via DPP, scoring through the cogrouped Arrow
     kernel so the candidate blowup never becomes Spark rows."""
     probes = _budgeted_probes_batch(
-        spark, path, queries, max_check, id_col, vec_col)
+        spark, path, queries, max_check, id_col, vec_col, walk=walk)
     mode, probes_resolved, prune = _resolve_probes(
         spark, path, probes, queries, probe_mode, driver_probe_limit,
         scratch_dir=probe_scratch_dir)
@@ -2364,6 +2437,7 @@ def paged_topk_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     predicate=None,
+    walk: str = "auto",
 ):
     """Iterative top-k cursor over a PERSISTED IVF index with the
     reference's Relaxed-Monotonicity budget (Q4: GetIterator /
@@ -2379,9 +2453,11 @@ def paged_topk_indexed(
     signal — a VBASE top-k-with-filter loop must keep draining flagged
     pages instead of stopping at the first threshold miss). With
     max_check=None nothing truncates, no row flags, and the
-    concatenation of pages equals the exact flat scan."""
+    concatenation of pages equals the exact flat scan. On a bkt index
+    the budget walk follows the tree's SPTQueue descent order
+    (walk='auto' → 'tree'), matching the index's own probe design."""
     scan, _, _ = _budgeted_scan(spark, path, query_vec, max_check,
-                                id_col, vec_col, predicate)
+                                id_col, vec_col, predicate, walk=walk)
     yield from _keyset_pages(scan, id_col, page_size, max_pages)
 
 
