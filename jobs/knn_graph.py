@@ -1,0 +1,90 @@
+"""spark-submit entry point: kNN-graph construction (the reference's
+neighborhood-graph build pipeline as a cluster job).
+
+    spark-submit --py-files sptag_spark.zip jobs/knn_graph.py \
+        --in /data/embeddings.parquet --out /data/knn_graph \
+        [--k 8] [--trees 3] [--leaf-size 1000] [--seed 42] \
+        [--refine-iters 2] [--max-degree 0] [--method tpt|exact]
+
+Mirrors the reference's full graph build (NeighborhoodGraph.h:444-465):
+BuildInitKNNGraph — per-leaf all-pairs over `trees` random-projection
+trees with mean splits (build_knn_graph_tpt, the 100-TB path) —
+followed by `--refine-iters` rounds of RefineGraph (neighbor-of-
+neighbor expansion + exact re-rank, default 2 = m_iRefineIter), then an
+optional Relative-Neighborhood prune when --max-degree > 0
+(RelativeNeighborhoodGraph.h:18-35). `--method exact` runs the blocked
+O(N^2) oracle twin instead of the TPT build (small corpora /
+truth-set generation). Emits one JSON metrics line on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in", dest="inp", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--trees", type=int, default=3)
+    ap.add_argument("--leaf-size", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--refine-iters", type=int, default=2)
+    ap.add_argument("--max-degree", type=int, default=0,
+                    help="RNG-prune each adjacency list to this degree "
+                         "after refinement (0 = no prune)")
+    ap.add_argument("--method", default="tpt", choices=["tpt", "exact"])
+    ap.add_argument("--id-col", default="vec_id")
+    ap.add_argument("--vec-col", default="embedding")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from sptag_spark.operators.graph import (
+        build_knn_graph,
+        build_knn_graph_tpt,
+        refine_knn_graph,
+        rng_prune,
+    )
+
+    spark = SparkSession.builder.appName("knn_graph") \
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true") \
+        .getOrCreate()
+    t0 = time.time()
+    df = spark.read.parquet(args.inp)
+    if args.method == "exact":
+        g = build_knn_graph(df, k=args.k, id_col=args.id_col,
+                            vec_col=args.vec_col)
+    else:
+        g = build_knn_graph_tpt(df, k=args.k, trees=args.trees,
+                                leaf_size=args.leaf_size,
+                                id_col=args.id_col,
+                                vec_col=args.vec_col, seed=args.seed)
+    if args.refine_iters > 0:
+        g = refine_knn_graph(g, df, k=args.k, iters=args.refine_iters,
+                             id_col=args.id_col, vec_col=args.vec_col)
+    if args.max_degree > 0:
+        g = rng_prune(g, df, max_degree=args.max_degree,
+                      id_col=args.id_col, vec_col=args.vec_col)
+    g.write.mode("overwrite").parquet(args.out)
+    out = spark.read.parquet(args.out)
+    metrics = {
+        "job": "knn_graph",
+        "method": args.method,
+        "nodes": out.select("src").distinct().count(),
+        "edges": out.count(),
+        "k": args.k,
+        "refine_iters": args.refine_iters,
+        "max_degree": args.max_degree,
+        "elapsed_sec": round(time.time() - t0, 3),
+    }
+    print(json.dumps(metrics))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

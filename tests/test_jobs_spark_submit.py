@@ -257,3 +257,31 @@ def test_spark_submit_ann_index_lifecycle(tmp_path):
                 "--queries", qs, "--out", out4, "--k", "5",
                 "--nprobe", "8", "--rerank", "32")
     assert m["results"] == 30
+
+
+def test_spark_submit_knn_graph(tmp_path):
+    """The graph-build CLI (reference BuildInitKNNGraph + RefineGraph +
+    RNG prune pipeline) through real spark-submit: TPT build with two
+    refinement rounds and an RNG prune, degree bounds verified from the
+    written parquet; a no-refine no-prune run keeps exactly k edges per
+    node."""
+    tmp = str(tmp_path)
+    zpath = _zip_package(tmp)
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+
+    import duckdb
+    out1 = os.path.join(tmp, "g_refined")
+    m = _submit(zpath, "knn_graph.py", "--in", src, "--out", out1,
+                "--k", "6", "--trees", "3", "--leaf-size", "64",
+                "--refine-iters", "2", "--max-degree", "4")
+    assert m["nodes"] == 500 and m["edges"] <= 500 * 4
+    deg = duckdb.sql(
+        f"SELECT max(n) FROM (SELECT src, count(*) n FROM "
+        f"'{out1}/*.parquet' GROUP BY src)").fetchone()[0]
+    assert deg <= 4
+
+    out2 = os.path.join(tmp, "g_plain")
+    m = _submit(zpath, "knn_graph.py", "--in", src, "--out", out2,
+                "--k", "6", "--trees", "3", "--leaf-size", "64",
+                "--refine-iters", "0")
+    assert m["nodes"] == 500 and m["edges"] == 500 * 6
