@@ -609,6 +609,16 @@ def refine_knn_graph(
        int64: |q| <= ~1e7 so a 64-dim dot < 2^63; no interpreted
        per-row HOF in the hot path).
     5. per-src top-k window (ties broken on dst — engine-standard).
+    6. the iteration's ranked edges are materialized with an EAGER
+       localCheckpoint before feeding the next round: `edges` is
+       referenced three times per iteration (both sides of the
+       expansion self-join + the union), so a lazy chain replicates the
+       previous iteration's whole plan — TPT build included — ~3x per
+       round (measured: the 2-iteration contract query dropped 9.9 s →
+       ~3 s at sf0.1 with the checkpoint). The reference likewise
+       stores the graph between RefineGraph rounds
+       (m_pNeighborhoodGraph is updated in place). N*k edge rows of
+       ids+cosine per round — tiny next to any recompute.
 
     Deterministic end-to-end, so a SQL oracle replays it bit-identically
     (contract query `knn_graph_refined`). Compose `rng_prune` after the
@@ -672,14 +682,20 @@ def refine_knn_graph(
                         F.col("dst").alias("_d2")),
             "dst",
         ).select("src", F.col("_d2").alias("dst"))
+        # one exchange serves dedup AND the dst-side join (CLAUDE.md
+        # rule 17: repartition on the subset key, dropDuplicates on the
+        # pair); joining src LAST leaves the kernel output clustered by
+        # src, so the top-k window adds NO exchange. 4 candidate-side
+        # exchanges/iteration -> 2 (one narrow, one wide).
         cand = (
             base.unionByName(expansion)
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
+            .repartition("dst")
+            .dropDuplicates(["src", "dst"])
         )
         pairs = (
-            cand.join(src_side.hint("shuffle_hash"), "src")
-            .join(dst_side.hint("shuffle_hash"), "dst")
+            cand.join(dst_side.hint("shuffle_hash"), "dst")
+            .join(src_side.hint("shuffle_hash"), "src")
             .select("src", "dst", "_sq", "_sn", "_dq", "_dn")
         )
         scored = pairs.mapInArrow(
@@ -690,6 +706,7 @@ def refine_knn_graph(
         ranked = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
+            .localCheckpoint(eager=True)
         )
         edges = ranked.select("src", "dst")
     return ranked.select(
