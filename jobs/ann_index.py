@@ -117,6 +117,12 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["auto", "driver", "join"])
     s.add_argument("--max-dist-ratio", type=float, default=None)
     s.add_argument("--probe-scratch-dir", default=None)
+    s.add_argument("--max-check", type=int, default=None,
+                   help="Relaxed-Monotonicity posting-row budget per "
+                        "query (the reference's p_maxCheck): probes are "
+                        "budget-selected instead of top-nprobe, and "
+                        "results carry a relaxed_mono flag. flat-ivf "
+                        "and bkt indexes only.")
 
     args = ap.parse_args(argv)
 
@@ -247,7 +253,28 @@ def main(argv: list[str] | None = None) -> int:
             f"{args.index}/centroids").count()
     elif args.cmd == "search":
         q = spark.read.parquet(args.queries)
-        if _is_pq(args.index):
+        if args.max_check is not None:
+            # budgeted (Relaxed-Monotonicity) search: the query-frame
+            # cursor — budget walk per query (flat sort or SPTQueue
+            # tree descent by index_type), pruned scan, relaxed_mono
+            # flags. ADC codes don't carry exact vectors, so pq indexes
+            # are rejected like other unsupported flag combinations.
+            if _is_pq(args.index) or args.max_dist_ratio is not None:
+                print(json.dumps({"error": "--max-check is not "
+                                  "supported for ivf_pq indexes (the "
+                                  "budgeted cursor re-ranks exact "
+                                  "vectors; use a flat or bkt index) "
+                                  "and does not combine with "
+                                  "--max-dist-ratio (pass a predicate "
+                                  "at the library surface instead)"}))
+                spark.stop()
+                return 2
+            res = knn.relaxed_mono_topk_batch(
+                spark, args.index, q, k=args.k,
+                max_check=args.max_check,
+                probe_mode=args.probe_mode,
+                probe_scratch_dir=args.probe_scratch_dir)
+        elif _is_pq(args.index):
             res = ivfpq.ivf_pq_probe(
                 spark, args.index, q, k=args.k, nprobe=args.nprobe,
                 rerank=args.rerank, probe_mode=args.probe_mode,

@@ -602,12 +602,14 @@ def refine_knn_graph(
        — the join cannot skew worse than indegree*2k.
     3. candidates = expansion UNION base, src <> dst, distinct
        (<= 4*N*k^2 + 2*N*k rows).
-    4. exact re-rank: join quantized vectors onto both endpoints
+    4. exact re-rank: join RAW float vectors onto both endpoints
        (shuffle-hash — the candidate side is wide after the first
-       vector join; never sort it), then ONE Arrow kernel computes the
-       row-wise integer dot products (O(rows*dim) numpy, exact in
-       int64: |q| <= ~1e7 so a 64-dim dot < 2^63; no interpreted
-       per-row HOF in the hot path).
+       vector join; never sort it), then ONE Arrow kernel quantizes
+       in-process (np_quantize, bit-identical to the JVM expression)
+       and computes the row-wise integer dot products (O(rows*dim)
+       numpy, exact in int64: |q| <= ~1e7 so a 64-dim dot < 2^63; no
+       interpreted per-row HOF in the hot path, and half the shuffle
+       bytes of shipping pre-quantized longs + norms).
     5. per-src top-k window (ties broken on dst — engine-standard).
     6. the iteration's ranked edges are materialized with an EAGER
        localCheckpoint before feeding the next round: `edges` is
@@ -631,15 +633,18 @@ def refine_knn_graph(
     candidate list)."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
-    from sptag_spark.functions.vecarrow import list_to_matrix
+    from sptag_spark.functions.vecarrow import list_to_matrix, np_quantize
 
-    qv = _with_quantized(df, id_col, vec_col)
-    src_side = qv.select(F.col("_id").alias("src"),
-                         F.col("_q").alias("_sq"),
-                         F.col("_norm").alias("_sn"))
-    dst_side = qv.select(F.col("_id").alias("dst"),
-                         F.col("_q").alias("_dq"),
-                         F.col("_norm").alias("_dn"))
+    # RAW float vectors ride the candidate joins; quantization happens
+    # inside the Arrow kernel (np_quantize — bit-identical to the JVM
+    # expression, CLAUDE.md rule 13): array<float> is half the shuffle
+    # bytes of a pre-quantized long array, and the norm columns drop
+    # out entirely (recomputed exactly from the ints in-kernel). The
+    # wide candidate shuffle IS the refine pass's cost at scale.
+    src_side = df.select(F.col(id_col).alias("src"),
+                         F.col(vec_col).alias("_se"))
+    dst_side = df.select(F.col(id_col).alias("dst"),
+                         F.col(vec_col).alias("_de"))
 
     out_schema = StructType([
         StructField("src", graph.schema["src"].dataType),
@@ -653,11 +658,13 @@ def refine_knn_graph(
             n = batch.num_rows
             if n == 0:
                 continue
-            Xs = list_to_matrix(batch.column("_sq"), np.int64)
-            Xd = list_to_matrix(batch.column("_dq"), np.int64)
-            sn = batch.column("_sn").to_numpy(zero_copy_only=False)
-            dn = batch.column("_dn").to_numpy(zero_copy_only=False)
+            Xs = np_quantize(list_to_matrix(batch.column("_se"),
+                                            np.float64))
+            Xd = np_quantize(list_to_matrix(batch.column("_de"),
+                                            np.float64))
             dots = np.einsum("ij,ij->i", Xs, Xd)
+            sn = np.einsum("ij,ij->i", Xs, Xs)
+            dn = np.einsum("ij,ij->i", Xd, Xd)
             cos = dots.astype(np.float64) / (
                 np.sqrt(sn.astype(np.float64))
                 * np.sqrt(dn.astype(np.float64)))
@@ -696,7 +703,7 @@ def refine_knn_graph(
         pairs = (
             cand.join(dst_side.hint("shuffle_hash"), "dst")
             .join(src_side.hint("shuffle_hash"), "src")
-            .select("src", "dst", "_sq", "_sn", "_dq", "_dn")
+            .select("src", "dst", "_se", "_de")
         )
         scored = pairs.mapInArrow(
             dot_kernel,

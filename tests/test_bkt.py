@@ -553,3 +553,61 @@ def test_budget_batch_matches_per_query_on_bkt(emb_small, spark,
                 for w in relaxed_mono_topk(spark, path, qvec, k=15,
                                            max_check=120).collect()]
         assert sorted(got[r["vec_id"]]) == sorted(want), r["vec_id"]
+
+
+def test_cli_search_max_check_budgeted(spark, emb_small, tmp_path,
+                                       monkeypatch):
+    """`ann_index.py search --max-check` rents the query-frame budgeted
+    cursor (reference p_maxCheck): results match the library call and
+    carry relaxed_mono; on a bkt index the walk is the tree descent.
+    In-process main; stop() patched out (reject path probes pq guard)."""
+    import contextlib
+    import importlib.util
+    import io
+    import json
+    import os
+
+    from sptag_spark.operators.bkt import bkt_build
+    from sptag_spark.operators.knn import relaxed_mono_topk_batch
+
+    spec = importlib.util.spec_from_file_location(
+        "ann_index_job", os.path.join(os.path.dirname(__file__),
+                                      "..", "jobs", "ann_index.py"))
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    path = str(tmp_path / "idx")
+    bkt_build(emb_small, path, branch=4, leaf_max=32, cell_iters=5)
+    qs = str(tmp_path / "q")
+    emb_small.filter("vec_id < 4").write.parquet(qs)
+    out = str(tmp_path / "res")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(["search", "--index", path, "--queries", qs,
+                       "--out", out, "--k", "10", "--max-check", "120"])
+    assert rc == 0 or rc is None
+    m = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert m["results"] == 40 and m["queries"] == 4
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"],
+         r["relaxed_mono"])
+        for r in spark.read.parquet(out).collect())
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"],
+         r["relaxed_mono"])
+        for r in relaxed_mono_topk_batch(
+            spark, path, emb_small.filter("vec_id < 4"), k=10,
+            max_check=120).collect())
+    assert got == want
+
+    # --max-check rejects --max-dist-ratio combos
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(["search", "--index", path, "--queries", qs,
+                       "--out", str(tmp_path / "res2"), "--k", "5",
+                       "--max-check", "120", "--max-dist-ratio", "0.5"])
+    assert rc == 2
+    assert "not supported" in json.loads(
+        buf.getvalue().strip().splitlines()[-1])["error"]
