@@ -597,11 +597,17 @@ def refine_knn_graph(
        that point AT the query too; measured +0.04 recall over forward-
        only at equal iterations on the contract corpus).
     2. expansion: self-join the NARROW base edge list on a.dst = b.src
-       — ids only, never vectors; out-degree is exactly k (2k with
-       reversals), so per-key multiplicity on the build side is bounded
-       — the join cannot skew worse than indegree*2k.
-    3. candidates = expansion UNION base, src <> dst, distinct
-       (<= 4*N*k^2 + 2*N*k rows).
+       — ids only, never vectors. Forward-only (include_reverse=False)
+       the volume is EXACTLY N*k^2 pairs; with reversals a node's base
+       out-degree is k + its indegree, so the volume is
+       sum_v outdeg(v)^2 — ~4*N*k^2 in expectation on a degree-regular
+       graph, with a hub tail bounded by max-indegree^2 per node
+       (measured at 1M clustered vectors, k=8: indegree p99.9 = 89,
+       max = 310, 350M pairs/iteration vs the 256M regular-graph
+       figure). Compose rebalance_indegree (A11) first on hub-heavy
+       graphs, or run forward-only for ~5x less volume at ~-0.04
+       recall.
+    3. candidates = expansion UNION base, src <> dst, distinct.
     4. exact re-rank: join RAW float vectors onto both endpoints
        (shuffle-hash — the candidate side is wide after the first
        vector join; never sort it), then ONE Arrow kernel quantizes
@@ -626,11 +632,18 @@ def refine_knn_graph(
     (contract query `knn_graph_refined`). Compose `rng_prune` after the
     final iteration for the reference's full RebuildNeighbors semantics.
 
-    100x story: every shuffle in the loop carries O(N*k^2) rows; the
-    only wide payloads are the two vector joins, each 1:1 against the
-    corpus; compute is O(N*k^2*dim) per iteration — linear in N, and
-    embarrassingly parallel (no window wider than one src's <= k^2+k
-    candidate list)."""
+    100x story: every shuffle in the loop carries O(N*k^2) rows, and
+    exactly ONE of them is wide (the candidate frame crosses one
+    exchange carrying the dst vector; the src join lands last so the
+    window reuses its clustering); compute is O(N*k^2*dim) per
+    iteration — linear in N and embarrassingly parallel. The honest
+    cost at scale is that wide exchange: ~N*k^2*(dim*4B) shuffle bytes
+    per iteration (measured: the single-host 1M-row x k=8 x dim=64
+    run spills ~80 GB per refine iteration). When that bound is the
+    bottleneck, the measured-cheaper recall knob in this engine is MORE
+    TREES, not refinement — see BENCH.md 'trees vs refine' (trees=32
+    reaches sampled recall 1.0 at 1M rows for ~2x the trees=4 build
+    cost, while two refine rounds cost ~8x and reach 0.981)."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
     from sptag_spark.functions.vecarrow import list_to_matrix, np_quantize

@@ -185,6 +185,9 @@ def main() -> int:
         "n_samples": n_samples,
         "configs": results,
     }))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return 0
 
 
