@@ -36,6 +36,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-degree", type=int, default=0,
                     help="RNG-prune each adjacency list to this degree "
                          "after refinement (0 = no prune)")
+    ap.add_argument("--forward-only", action="store_true",
+                    help="refine without reverse edges: exactly N*k^2 "
+                         "candidate pairs per iteration (~5x less "
+                         "shuffle at ~-0.04 recall on the contract "
+                         "corpus)")
+    ap.add_argument("--max-indegree", type=int, default=0,
+                    help="rebalance edges toward targets whose naive "
+                         "fan-in is within this bound (reference A11; "
+                         "0 = off). Applied before refinement, on a "
+                         "2k-wide candidate list.")
     ap.add_argument("--method", default="tpt", choices=["tpt", "exact"])
     ap.add_argument("--id-col", default="vec_id")
     ap.add_argument("--vec-col", default="embedding")
@@ -46,6 +56,7 @@ def main(argv: list[str] | None = None) -> int:
     from sptag_spark.operators.graph import (
         build_knn_graph,
         build_knn_graph_tpt,
+        rebalance_indegree,
         refine_knn_graph,
         rng_prune,
     )
@@ -55,17 +66,23 @@ def main(argv: list[str] | None = None) -> int:
         .getOrCreate()
     t0 = time.time()
     df = spark.read.parquet(args.inp)
+    # indegree rebalance selects k edges from a 2k-wide candidate list
+    build_k = 2 * args.k if args.max_indegree > 0 else args.k
     if args.method == "exact":
-        g = build_knn_graph(df, k=args.k, id_col=args.id_col,
+        g = build_knn_graph(df, k=build_k, id_col=args.id_col,
                             vec_col=args.vec_col)
     else:
-        g = build_knn_graph_tpt(df, k=args.k, trees=args.trees,
+        g = build_knn_graph_tpt(df, k=build_k, trees=args.trees,
                                 leaf_size=args.leaf_size,
                                 id_col=args.id_col,
                                 vec_col=args.vec_col, seed=args.seed)
+    if args.max_indegree > 0:
+        g = rebalance_indegree(g, args.k,
+                               max_indegree=args.max_indegree)
     if args.refine_iters > 0:
         g = refine_knn_graph(g, df, k=args.k, iters=args.refine_iters,
-                             id_col=args.id_col, vec_col=args.vec_col)
+                             id_col=args.id_col, vec_col=args.vec_col,
+                             include_reverse=not args.forward_only)
     if args.max_degree > 0:
         g = rng_prune(g, df, max_degree=args.max_degree,
                       id_col=args.id_col, vec_col=args.vec_col)
@@ -79,6 +96,8 @@ def main(argv: list[str] | None = None) -> int:
         "k": args.k,
         "refine_iters": args.refine_iters,
         "max_degree": args.max_degree,
+        "forward_only": bool(args.forward_only),
+        "max_indegree": args.max_indegree,
         "elapsed_sec": round(time.time() - t0, 3),
     }
     print(json.dumps(metrics))

@@ -285,3 +285,26 @@ def test_spark_submit_knn_graph(tmp_path):
                 "--k", "6", "--trees", "3", "--leaf-size", "64",
                 "--refine-iters", "0")
     assert m["nodes"] == 500 and m["edges"] == 500 * 6
+
+
+def test_spark_submit_knn_graph_rebalance_forward_only(tmp_path):
+    """--max-indegree routes through rebalance_indegree (A11: 2k-wide
+    candidates, fan-in-bounded re-selection) and --forward-only refines
+    without reverse edges; the output stays k-regular and the naive hub
+    fan-in shrinks to the bound."""
+    tmp = str(tmp_path)
+    zpath = _zip_package(tmp)
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+
+    import duckdb
+    out = os.path.join(tmp, "g_rb")
+    m = _submit(zpath, "knn_graph.py", "--in", src, "--out", out,
+                "--k", "6", "--trees", "3", "--leaf-size", "64",
+                "--refine-iters", "1", "--forward-only",
+                "--max-indegree", "10")
+    assert m["forward_only"] is True and m["max_indegree"] == 10
+    assert m["nodes"] == 500 and m["edges"] == 500 * 6
+    deg = duckdb.sql(
+        f"SELECT max(n) FROM (SELECT src, count(*) n FROM "
+        f"'{out}/*.parquet' GROUP BY src)").fetchone()[0]
+    assert deg == 6
