@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--max-degree", type=int, default=0,
                     help="RNG-prune each adjacency list to this degree "
                          "after refinement (0 = no prune)")
+    ap.add_argument("--score-unordered", action="store_true",
+                    help="score each unordered candidate pair once and "
+                         "mirror (valid with reverse edges; values "
+                         "identical): halves the wide vector exchange "
+                         "— use when the refine shuffle spills")
     ap.add_argument("--forward-only", action="store_true",
                     help="refine without reverse edges: exactly N*k^2 "
                          "candidate pairs per iteration (~5x less "
@@ -82,7 +87,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.refine_iters > 0:
         g = refine_knn_graph(g, df, k=args.k, iters=args.refine_iters,
                              id_col=args.id_col, vec_col=args.vec_col,
-                             include_reverse=not args.forward_only)
+                             include_reverse=not args.forward_only,
+                             score_unordered=args.score_unordered)
     if args.max_degree > 0:
         g = rng_prune(g, df, max_degree=args.max_degree,
                       id_col=args.id_col, vec_col=args.vec_col)

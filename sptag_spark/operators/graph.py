@@ -582,6 +582,7 @@ def refine_knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_reverse: bool = True,
+    score_unordered: bool = False,
 ) -> DataFrame:
     """Graph refinement — the reference's RefineGraph pass
     (NeighborhoodGraph.h:444-465 runs it after the TPT init; loop at
@@ -607,7 +608,18 @@ def refine_knn_graph(
        figure). Compose rebalance_indegree (A11) first on hub-heavy
        graphs, or run forward-only for ~5x less volume at ~-0.04
        recall.
-    3. candidates = expansion UNION base, src <> dst, distinct.
+    3. candidates = expansion UNION base, src <> dst, distinct. With
+       reversals the candidate set is SYMMETRIC (base is
+       edges ∪ reverse(edges); any expansion path s→v→d reverses to
+       d→v→s) and cosine is symmetric, so `score_unordered=True` dedups
+       scoring to UNORDERED pairs (least/greatest canonicalization) and
+       mirrors after the kernel — the wide vector exchange carries HALF
+       the rows. Values are bit-identical either way; it is a knob, not
+       the default, because the win is disk bytes in the spill-bound
+       regime (measured: ~3% wall at 120k rows where the exchange fits
+       memory, vs +1.5 s fixed cost at 2k rows from one extra narrow
+       exchange + losing the window's clustering reuse). Turn it on
+       when N*k^2*dim*4 bytes approaches shuffle-spill territory.
     4. exact re-rank: join RAW float vectors onto both endpoints
        (shuffle-hash — the candidate side is wide after the first
        vector join; never sort it), then ONE Arrow kernel quantizes
@@ -702,27 +714,59 @@ def refine_knn_graph(
                         F.col("dst").alias("_d2")),
             "dst",
         ).select("src", F.col("_d2").alias("dst"))
-        # one exchange serves dedup AND the dst-side join (CLAUDE.md
-        # rule 17: repartition on the subset key, dropDuplicates on the
-        # pair); joining src LAST leaves the kernel output clustered by
-        # src, so the top-k window adds NO exchange. 4 candidate-side
-        # exchanges/iteration -> 2 (one narrow, one wide).
         cand = (
             base.unionByName(expansion)
             .filter(F.col("src") != F.col("dst"))
-            .repartition("dst")
-            .dropDuplicates(["src", "dst"])
         )
-        pairs = (
-            cand.join(dst_side.hint("shuffle_hash"), "dst")
-            .join(src_side.hint("shuffle_hash"), "src")
-            .select("src", "dst", "_se", "_de")
-        )
-        scored = pairs.mapInArrow(
-            dot_kernel,
-            schema="src {0}, dst {0}, cosine double".format(
-                graph.schema["src"].dataType.simpleString()),
-        )
+        dtype = graph.schema["src"].dataType.simpleString()
+        if include_reverse and score_unordered:
+            # With reversals the candidate set is SYMMETRIC as a set of
+            # ordered pairs (base is edges ∪ reverse(edges); for any
+            # expansion path s→v→d through base, the reversed path
+            # d→v→s also exists), and cosine is symmetric — so score
+            # each UNORDERED pair once and mirror afterwards: the wide
+            # vector exchange, the pass's dominant cost at scale,
+            # carries HALF the rows. One exchange serves the canonical
+            # dedup AND the b-side join (rule 17); the mirror union is
+            # free; the top-k window re-shuffles only the narrow
+            # (src, dst, cosine) frame.
+            canon = (
+                cand.select(
+                    F.least("src", "dst").alias("_a"),
+                    F.greatest("src", "dst").alias("_b"))
+                .repartition("_b")
+                .dropDuplicates(["_a", "_b"])
+            )
+            pairs = (
+                canon
+                .join(dst_side.hint("shuffle_hash"),
+                      canon["_b"] == dst_side["dst"])
+                .join(src_side.hint("shuffle_hash"),
+                      canon["_a"] == src_side["src"])
+                .select("src", "dst", "_se", "_de")
+            )
+            half = pairs.mapInArrow(
+                dot_kernel, schema=f"src {dtype}, dst {dtype}, "
+                                   "cosine double")
+            scored = half.unionByName(
+                half.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst"), "cosine"))
+        else:
+            # ordered-pair scoring (default; forward-only candidates
+            # are never symmetric, so it is also the only valid path
+            # there). One exchange serves dedup AND the dst-side join
+            # (rule 17); joining src LAST leaves the kernel output
+            # clustered by src, so the top-k window adds NO exchange.
+            cand = cand.repartition("dst") \
+                .dropDuplicates(["src", "dst"])
+            pairs = (
+                cand.join(dst_side.hint("shuffle_hash"), "dst")
+                .join(src_side.hint("shuffle_hash"), "src")
+                .select("src", "dst", "_se", "_de")
+            )
+            scored = pairs.mapInArrow(
+                dot_kernel, schema=f"src {dtype}, dst {dtype}, "
+                                   "cosine double")
         ranked = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -337,3 +337,19 @@ def test_tpt_default_depth_from_leaf_size(emb):
 
     out = build_knn_graph_tpt(emb, k=3, trees=2, leaf_size=2 * emb.count())
     assert out.count() > 0
+
+
+def test_refine_score_unordered_parity(emb):
+    """score_unordered=True (unordered-pair scoring + mirror — the
+    spill-regime knob) must be row-for-row identical to the ordered
+    path: the candidate set is symmetric with reverse edges and the
+    cosine kernel is commutative, so only the plan shape differs."""
+    from sptag_spark.operators.graph import (build_knn_graph_tpt,
+                                             refine_knn_graph)
+
+    g0 = build_knn_graph_tpt(emb, k=5, trees=3, depth=3)
+    rows = lambda so: sorted(  # noqa: E731
+        (r["src"], r["dst"], r["cosine"], r["rank"])
+        for r in refine_knn_graph(g0, emb, k=5, iters=2,
+                                  score_unordered=so).collect())
+    assert rows(True) == rows(False)
