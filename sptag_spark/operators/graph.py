@@ -703,7 +703,7 @@ def refine_knn_graph(
         F.col("cosine").desc(), F.col("dst").asc()
     )
     edges = graph.select("src", "dst")
-    for _ in range(iters):
+    for it in range(iters):
         base = edges
         if include_reverse:
             base = base.unionByName(
@@ -770,8 +770,13 @@ def refine_knn_graph(
         ranked = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-            .localCheckpoint(eager=True)
         )
+        if it < iters - 1:
+            # materialize BETWEEN iterations only: the next round
+            # references these edges three times (see step 6); the
+            # FINAL frame is consumed once by the caller, so an eager
+            # checkpoint there would be a wasted materialize+re-read.
+            ranked = ranked.localCheckpoint(eager=True)
         edges = ranked.select("src", "dst")
     return ranked.select(
         "src", "dst", "cosine", F.col("rank").cast("int").alias("rank")
