@@ -1,5 +1,7 @@
-"""spark-submit entry point: kNN-graph construction (the reference's
-neighborhood-graph build pipeline as a cluster job).
+"""spark-submit entry point: kNN-graph construction + graph-walk search
+(the reference's neighborhood-graph pipeline as cluster jobs).
+
+Build (default):
 
     spark-submit --py-files sptag_spark.zip jobs/knn_graph.py \
         --in /data/embeddings.parquet --out /data/knn_graph \
@@ -14,7 +16,17 @@ neighbor expansion + exact re-rank, default 2 = m_iRefineIter), then an
 optional Relative-Neighborhood prune when --max-degree > 0
 (RelativeNeighborhoodGraph.h:18-35). `--method exact` runs the blocked
 O(N^2) oracle twin instead of the TPT build (small corpora /
-truth-set generation). Emits one JSON metrics line on stdout.
+truth-set generation).
+
+Search (--queries given): beam search over an EXISTING graph parquet
+(the reference's in-memory query path, BKTIndex.cpp SearchIndex):
+
+    ... jobs/knn_graph.py --in /data/embeddings.parquet \
+        --graph /data/knn_graph --queries /data/q.parquet \
+        --out /data/results [--k 10] [--beam 8] [--rounds 4] \
+        [--n-seeds 8]
+
+Emits one JSON metrics line on stdout.
 """
 
 from __future__ import annotations
@@ -54,6 +66,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--method", default="tpt", choices=["tpt", "exact"])
     ap.add_argument("--id-col", default="vec_id")
     ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--queries", default=None,
+                    help="switch to SEARCH mode: beam-search these "
+                         "query vectors over --graph")
+    ap.add_argument("--graph", default=None,
+                    help="search mode: existing graph parquet")
+    ap.add_argument("--beam", type=int, default=8)
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--n-seeds", type=int, default=8)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -61,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
     from sptag_spark.operators.graph import (
         build_knn_graph,
         build_knn_graph_tpt,
+        graph_beam_search,
         rebalance_indegree,
         refine_knn_graph,
         rng_prune,
@@ -71,6 +92,30 @@ def main(argv: list[str] | None = None) -> int:
         .getOrCreate()
     t0 = time.time()
     df = spark.read.parquet(args.inp)
+    if args.queries is not None:
+        if args.graph is None:
+            print(json.dumps({"error": "--queries (search mode) "
+                              "requires --graph (an existing graph "
+                              "parquet built by this job)"}))
+            spark.stop()
+            return 2
+        g = spark.read.parquet(args.graph)
+        qs = spark.read.parquet(args.queries)
+        res = graph_beam_search(
+            g, df, qs, k=args.k, beam=args.beam, rounds=args.rounds,
+            n_seeds=args.n_seeds, id_col=args.id_col,
+            vec_col=args.vec_col)
+        res.write.mode("overwrite").parquet(args.out)
+        out = spark.read.parquet(args.out)
+        print(json.dumps({
+            "job": "knn_graph_search",
+            "results": out.count(),
+            "queries": out.select("query_id").distinct().count(),
+            "k": args.k, "beam": args.beam, "rounds": args.rounds,
+            "elapsed_sec": round(time.time() - t0, 3),
+        }))
+        spark.stop()
+        return 0
     # indegree rebalance selects k edges from a 2k-wide candidate list
     build_k = 2 * args.k if args.max_indegree > 0 else args.k
     if args.method == "exact":

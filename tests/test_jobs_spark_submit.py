@@ -308,3 +308,32 @@ def test_spark_submit_knn_graph_rebalance_forward_only(tmp_path):
         f"SELECT max(n) FROM (SELECT src, count(*) n FROM "
         f"'{out}/*.parquet' GROUP BY src)").fetchone()[0]
     assert deg == 6
+
+
+def test_spark_submit_knn_graph_search(tmp_path):
+    """Search mode: beam-search a query file over a previously built
+    graph through real spark-submit; k results per query with ranks."""
+    tmp = str(tmp_path)
+    zpath = _zip_package(tmp)
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+
+    import duckdb
+    gout = os.path.join(tmp, "g")
+    _submit(zpath, "knn_graph.py", "--in", src, "--out", gout,
+            "--k", "6", "--trees", "3", "--leaf-size", "64",
+            "--refine-iters", "0")
+    qs = os.path.join(tmp, "q.parquet")
+    duckdb.sql(f"COPY (SELECT * FROM '{src}' WHERE vec_id < 5) TO "
+               f"'{qs}' (FORMAT PARQUET)")
+    rout = os.path.join(tmp, "res")
+    m = _submit(zpath, "knn_graph.py", "--in", src, "--graph", gout,
+                "--queries", qs, "--out", rout, "--k", "5",
+                "--beam", "8", "--rounds", "4")
+    assert m["queries"] == 5 and m["results"] == 25
+    mx = duckdb.sql(f"SELECT max(rank), count(DISTINCT query_id) FROM "
+                    f"'{rout}/*.parquet'").fetchone()
+    assert mx == (5, 5)
+    # missing --graph is rejected
+    assert _submit(zpath, "knn_graph.py", "--in", src,
+                   "--queries", qs, "--out", rout,
+                   expect_fail=True) is None

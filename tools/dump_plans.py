@@ -89,6 +89,15 @@ def _tpt_graph_df(emb):
     return build_knn_graph_tpt(emb, k=4, trees=2, leaf_size=64)
 
 
+def _beam_search_df(emb):
+    from sptag_spark.operators.graph import (build_knn_graph,
+                                             graph_beam_search)
+
+    g = build_knn_graph(emb, k=4, n_blocks=4)
+    return graph_beam_search(g, emb, emb.filter("vec_id < 2"), k=4,
+                             beam=4, rounds=1, n_seeds=4)
+
+
 def _decontaminate(docs):
     from sptag_spark.operators.corpus import contamination_report
 
@@ -260,6 +269,18 @@ def main() -> int:
             "frontier literal — no extra pass, no shuffle beyond the "
             "TakeOrdered.",
             _paged_budget_df(spark, emb),
+        ),
+        (
+            "Graph beam search (one walk round)",
+            "The reference's in-memory query path as hash joins: the "
+            "frontier (query_id, node) joins the undirected edge list, "
+            "anti-joins the visited set, and re-scores candidates with "
+            "codegen'd quantized-int expressions — the node-vector join "
+            "is the round's only wide exchange, query vectors ride a "
+            "BROADCAST. Prior rounds sit behind an eager checkpoint, so "
+            "each round's plan is one self-similar block regardless of "
+            "depth.",
+            _beam_search_df(emb),
         ),
         (
             "Benchmark decontamination",
