@@ -480,3 +480,56 @@ def test_graph_beam_search_with_index_seeds(emb, oracle, tmp_path, spark):
         hits += len((got[qid] - {qid}) & truth)
         total += len(truth)
     assert hits / total >= 0.9, hits / total
+
+
+def test_graph_delete_invariants_and_repair(emb):
+    """Incremental DeleteIndex analog: tombstoned ids vanish from both
+    edge endpoints; srcs that lost nothing stay bit-identical; srcs
+    that lost edges repair through one localized expansion over the
+    surviving edge set with a measured recall floor vs the exact top-K
+    over the remaining corpus."""
+    from sptag_spark.operators.graph import build_knn_graph, graph_delete
+
+    g = build_knn_graph(emb, k=K, n_blocks=8).cache()
+    dels = emb.filter("vec_id % 25 = 0").select("vec_id")
+    del_set = {r["vec_id"] for r in dels.collect()}
+    out = graph_delete(g, emb, dels, k=K).collect()
+
+    assert all(r["src"] not in del_set and r["dst"] not in del_set
+               for r in out)
+    orig = {}
+    for r in g.collect():
+        orig.setdefault(r["src"], set()).add((r["dst"], r["cosine"]))
+    affected = {s for s, ds in orig.items()
+                if any(d in del_set for d, _ in ds) and s not in del_set}
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(
+            (r["rank"], r["dst"], r["cosine"]))
+    for s, rows in by_src.items():
+        ranks = sorted(x[0] for x in rows)
+        assert ranks == list(range(1, len(rows) + 1)) and len(rows) <= K
+        if s not in affected:
+            assert {(d, c) for _, d, c in rows} == orig[s]
+
+    # repair quality vs exact truth over the REMAINING corpus
+    pdf = emb.orderBy("vec_id").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    Q = np.array([np.round(np.asarray(v, np.float64) * 1000)
+                  for v in pdf["embedding"]])
+    nrm = np.sqrt((Q * Q).sum(1))
+    cos = (Q @ Q.T) / (nrm[:, None] * nrm[None, :])
+    np.fill_diagonal(cos, -np.inf)
+    alive = np.array([i not in del_set for i in ids])
+    hits = tot = 0
+    for s in affected:
+        i = int(np.where(ids == s)[0][0])
+        truth = [int(ids[j]) for j in
+                 sorted(np.where(alive)[0],
+                        key=lambda j: (-cos[i, j], ids[j]))
+                 if ids[j] != s][:K]
+        got = {d for _, d, _ in by_src.get(s, [])}
+        hits += len(got & set(truth))
+        tot += len(truth)
+    assert hits / tot >= 0.8, hits / tot
+    g.unpersist()
