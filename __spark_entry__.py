@@ -711,8 +711,10 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(N^2/B^2) per task instead of a materialized N^2 join
     from sptag_spark.operators.knn import cosine_near_dup_pairs_blocked
 
+    # n_blocks=None: adaptive block count (knn.adaptive_n_blocks) —
+    # sized to the cluster, result-invariant (tested across block counts)
     return cosine_near_dup_pairs_blocked(
-        _embeddings(spark, sf_dir), threshold=0.4, n_blocks=8
+        _embeddings(spark, sf_dir), threshold=0.4, n_blocks=None
     )
 
 
@@ -1449,7 +1451,8 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors for EVERY row via blocked local-top-k matmuls."""
     from sptag_spark.operators.graph import build_knn_graph
 
-    return build_knn_graph(_embeddings(spark, sf_dir), k=6, n_blocks=8)
+    # n_blocks=None: adaptive (cluster-sized), result-invariant
+    return build_knn_graph(_embeddings(spark, sf_dir), k=6, n_blocks=None)
 
 
 _KNN_GRAPH_ORACLE = """
@@ -1691,7 +1694,7 @@ def _q_graph_beam_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _embeddings(spark, sf_dir)
-    g = build_knn_graph(emb, k=6, n_blocks=8)
+    g = build_knn_graph(emb, k=6, n_blocks=None)
     qs = emb.filter("vec_id < 8")
     return graph_beam_search(g, emb, qs, k=6, beam=6, rounds=2,
                              n_seeds=6)

@@ -48,7 +48,7 @@ def md5_key_sql(expr: str, salt: str, denom: int) -> str:
 # ---------------------------------------------------------------------------
 
 def _exploded_shingles_arrow(
-    df: DataFrame, id_col: str, text_col: str, n: int,
+    df: DataFrame, id_col: str | None, text_col: str, n: int,
     with_count: bool,
 ) -> DataFrame:
     """(id, text) -> exploded (_id[, _n_sh], _sh) rows with the
@@ -56,10 +56,12 @@ def _exploded_shingles_arrow(
     strings to word_shingles (same normalize, distinct, degenerate-row
     semantics; NULL text -> one NULL-shingle row like explode_outer of
     [null]) but thread-scalable (the JVM string churn law, see
-    dedup.minhash_signature_arrow)."""
+    dedup.minhash_signature_arrow). id_col=None emits shingle rows with
+    no id column at all (corpus-wide vocabulary passes)."""
     import pyarrow as pa
 
     nn = n
+    emit_id = id_col is not None
 
     def kernel(batches):
         import re
@@ -82,7 +84,8 @@ def _exploded_shingles_arrow(
                         ))
                     else:
                         shingles = [nm]
-                out_idx.extend([ridx] * len(shingles))
+                if emit_id:
+                    out_idx.extend([ridx] * len(shingles))
                 if with_count:
                     out_counts.extend([len(shingles)] * len(shingles))
                 out_sh.extend(shingles)
@@ -90,8 +93,11 @@ def _exploded_shingles_arrow(
             # exact type (int/long/string) and null preservation, unlike
             # pa.array(values) whose inferred int64 crashes non-bigint
             # id schemas at read time
-            cols = [batch.column("_id").take(pa.array(out_idx, pa.int32()))]
-            names = ["_id"]
+            cols, names = [], []
+            if emit_id:
+                cols.append(batch.column("_id")
+                            .take(pa.array(out_idx, pa.int32())))
+                names.append("_id")
             if with_count:
                 cols.append(pa.array(out_counts, pa.int64()))
                 names.append("_n_sh")
@@ -101,14 +107,16 @@ def _exploded_shingles_arrow(
 
     from sptag_spark.operators.dedup import _ensure_parallel
 
-    src = _ensure_parallel(df).select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-    )
-    id_type = df.schema[id_col].dataType.simpleString()
-    mid = ", _n_sh long" if with_count else ""
-    return src.mapInArrow(
-        kernel, schema=f"_id {id_type}{mid}, _sh string"
-    )
+    if emit_id:
+        src = _ensure_parallel(df).select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        )
+        head = f"_id {df.schema[id_col].dataType.simpleString()}, "
+    else:
+        src = _ensure_parallel(df).select(F.col(text_col).alias("_text"))
+        head = ""
+    mid = "_n_sh long, " if with_count else ""
+    return src.mapInArrow(kernel, schema=f"{head}{mid}_sh string")
 
 
 def contamination_report(
@@ -574,20 +582,23 @@ def top_ngrams(
     Scale: explode + one map-side-combinable aggregate keyed by the
     shingle (partial counts absorb the corpus before the shuffle), then
     TakeOrdered for the global top-k (never a single-partition window).
-    """
-    from sptag_spark.operators.dedup import _ensure_parallel
 
-    sh = _ensure_parallel(df).select(
-        *([per_group] if per_group else []),
-        F.explode_outer(
-            word_shingles(F.col(text_col), n)
-        ).alias("ngram"),
+    Shingling runs in the Arrow kernel (_exploded_shingles_arrow —
+    char-identical strings to the word_shingles expression, incl. the
+    degenerate-row and NULL semantics): the JVM normalize+shingle string
+    churn flat-lines across threads in one JVM (CLAUDE.md rule 13),
+    while Python workers scale ~1.0.
+    """
+    sh = _exploded_shingles_arrow(
+        df, per_group, text_col, n, with_count=False,
+    ).select(
+        *([F.col("_id").alias(per_group)] if per_group else []),
+        F.col("_sh").alias("ngram"),
     ).filter(F.col("ngram").isNotNull())
-    # null-text docs explode to a NULL ngram (explode_outer keeps the
-    # row; see CLAUDE.md rule 12 for why explode_outer) — drop them
-    # before the count so a NULL never reaches the top-k tie boundary,
-    # where Spark's NULLS-FIRST ASC would diverge from the oracle's
-    # NULLS-LAST default.
+    # null-text docs yield one NULL-shingle row (the explode_outer
+    # twin's semantics) — drop them before the count so a NULL never
+    # reaches the top-k tie boundary, where Spark's NULLS-FIRST ASC
+    # would diverge from the oracle's NULLS-LAST default.
     gcols = [per_group] if per_group else []
     counts = sh.groupBy(*gcols, "ngram").agg(
         F.count(F.lit(1)).alias("df_docs")

@@ -54,24 +54,38 @@ def _ensure_parallel(df: DataFrame, min_parts: int | None = None) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def exact_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Tag every row with its content fingerprint, the canonical (minimum)
     id holding that fingerprint, and an is_duplicate flag.
 
-    One groupBy on the md5 fingerprint (map-side combinable) + one
-    broadcast-able join back — at 100 TB the canonical table is small
-    relative to the corpus iff dup rate is high; AQE picks the strategy.
+    Fingerprints come from the Arrow kernel (doc_fingerprint_arrow —
+    char-identical to the JVM md5(normalize) expression, and it scales
+    across cores where the JVM regex+md5 churn flat-lines, CLAUDE.md
+    rule 13; engine='expr' keeps the expression twin). Canonical id and
+    copy count are window aggregates over partitionBy(fp) — ONE exchange
+    and ONE fingerprint evaluation, where the old groupBy + join-back
+    re-ran the scan+fingerprint for each join branch (the aggregated
+    side broadcasts, so nothing reuses the first exchange). NULL-fp rows
+    (NULL text) are dropped, exactly as the old inner join on fp did.
     """
-    fp = df.select(
-        F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp")
-    )
-    canon = fp.groupBy("fp").agg(
-        F.min(id_col).alias("canonical_" + id_col),
-        F.count(F.lit(1)).alias("n_copies"),
-    )
+    from pyspark.sql.window import Window
+
+    from sptag_spark.functions.text import doc_fingerprint_arrow
+
+    if engine == "arrow":
+        fp = doc_fingerprint_arrow(df, id_col, text_col) \
+            .select(F.col(id_col), "fp")
+    else:
+        fp = df.select(
+            F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp")
+        )
+    w = Window.partitionBy("fp")
     return (
-        fp.join(canon, "fp")
+        fp.filter(F.col("fp").isNotNull())
+        .withColumn("canonical_" + id_col, F.min(id_col).over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
         .select(
             id_col,
             "fp",

@@ -63,46 +63,44 @@ def build_knn_graph(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 8,
+    n_blocks: int | None = 8,
 ) -> DataFrame:
-    """(src, dst, cosine, rank) — exact top-k neighbors per row."""
-    q = _with_quantized(df, id_col, vec_col)
-    blk = q.withColumn(
-        "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int")
+    """(src, dst, cosine, rank) — exact top-k neighbors per row.
+
+    Arrow-native blocked scorer (applyInArrow + vecarrow zero-copy
+    ingestion, CLAUDE.md rule 15): rows ship as RAW floats and the
+    kernel quantizes with vecarrow.np_quantize — half the shuffle bytes
+    of pre-quantized longs, no per-row JVM array allocation (rule 13) —
+    bit-identical to the expression path. n_blocks=None sizes the block
+    count to the cluster (knn.adaptive_n_blocks)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from sptag_spark.operators.knn import (
+        _tag_block_pairs,
+        adaptive_n_blocks,
     )
+    from sptag_spark.functions.vecarrow import list_to_matrix, np_quantize
 
-    def pairs_for(b):
-        entries = []
-        for i in range(n_blocks):
-            for j in range(i, n_blocks):
-                pid = i * n_blocks + j
-                side = (
-                    F.when(b == i, F.lit("L")).otherwise(F.lit("R"))
-                    if i != j else F.lit("B")
-                )
-                entries.append(
-                    F.when((b == i) | (b == j),
-                           F.struct(F.lit(pid).alias("pid"),
-                                    side.alias("side")))
-                )
-        return F.filter(F.array(*entries), lambda x: x.isNotNull())
-
-    tagged = blk.select(
-        "_id", "_q", "_norm", F.explode(pairs_for(F.col("_blk"))).alias("_p")
-    ).select("_id", "_q", "_norm",
-             F.col("_p.pid").alias("_pid"), F.col("_p.side").alias("_side"))
+    if n_blocks is None:
+        n_blocks = adaptive_n_blocks(df)
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_e"))
+    tagged = _tag_block_pairs(src, n_blocks)
 
     out_schema = StructType([
         StructField("src", df.schema[id_col].dataType),
         StructField("dst", df.schema[id_col].dataType),
         StructField("cosine", DoubleType()),
     ])
+    arrow_out = to_arrow_schema(out_schema)
 
-    def local_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(tbl: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
         def mats(sub):
-            ids = sub["_id"].to_numpy()
-            X = np.array(sub["_q"].tolist(), dtype=np.int64)
-            nrm = np.sqrt(sub["_norm"].to_numpy(dtype=np.float64))
+            ids = sub.column("_id").to_numpy(zero_copy_only=False)
+            X = np_quantize(list_to_matrix(sub.column("_e"), np.float64))
+            nrm = np.sqrt((X * X).sum(axis=1).astype(np.float64))
             return ids, X, nrm
 
         def emit(ids_a, cos, ids_b):
@@ -117,30 +115,35 @@ def build_knn_graph(
             kth = -np.partition(-cos, kk - 1, axis=1)[:, kk - 1]
             rows, cols = np.where((cos >= kth[:, None]) & np.isfinite(cos))
             keep = ids_a[rows] != ids_b[cols]
-            return pd.DataFrame({
-                "src": ids_a[rows][keep], "dst": ids_b[cols][keep],
-                "cosine": cos[rows, cols][keep],
-            })
+            return (ids_a[rows][keep], ids_b[cols][keep],
+                    cos[rows, cols][keep])
 
-        both = pdf[pdf["_side"] == "B"]
-        if len(both):
+        def out(parts):
+            return pa.Table.from_arrays(
+                [pa.array(np.concatenate([p[i] for p in parts]))
+                 for i in range(3)],
+                schema=arrow_out)
+
+        side = tbl.column("_side")
+        both = tbl.filter(pc.equal(side, "B"))
+        if both.num_rows:
             ids, X, nrm = mats(both)
             cos = exact_int_matmul(X, X.T) / (nrm[:, None] * nrm[None, :])
             np.fill_diagonal(cos, -np.inf)  # no self edges
-            return emit(ids, cos, ids)
-        left = pdf[pdf["_side"] == "L"]
-        right = pdf[pdf["_side"] == "R"]
-        if not len(left) or not len(right):
-            return pd.DataFrame({"src": [], "dst": [], "cosine": []})
+            return out([emit(ids, cos, ids)])
+        left = tbl.filter(pc.equal(side, "L"))
+        right = tbl.filter(pc.equal(side, "R"))
+        if not left.num_rows or not right.num_rows:
+            return arrow_out.empty_table()
         ids_l, X_l, n_l = mats(left)
         ids_r, X_r, n_r = mats(right)
         cos = exact_int_matmul(X_l, X_r.T) / (n_l[:, None] * n_r[None, :])
-        return pd.concat([
+        return out([
             emit(ids_l, cos, ids_r),
-            emit(ids_r, cos.T.copy(), ids_l),
+            emit(ids_r, np.ascontiguousarray(cos.T), ids_l),
         ])
 
-    candidates = tagged.groupBy("_pid").applyInPandas(
+    candidates = tagged.groupBy("_pid").applyInArrow(
         local_topk, schema=out_schema
     )
     w = Window.partitionBy("src").orderBy(
@@ -911,6 +914,8 @@ def graph_beam_search(
     vec_col: str = "embedding",
     seeds: DataFrame | None = None,
     undirected: bool = True,
+    small_wave: bool | None = None,
+    small_wave_limit: int = 10_000,
 ) -> DataFrame:
     """Greedy beam search over a kNN graph — the reference's in-memory
     query path (BKTIndex.cpp SearchIndex: seed candidates from the tree,
@@ -949,31 +954,97 @@ def graph_beam_search(
 
     100x story: every exchange is keyed by query_id or node id — a
     1M-query wave fans into ordinary hash joins; the graph side is
-    amortized across the wave (one scan per round)."""
+    amortized across the wave (one scan per round).
+
+    `small_wave` (None = auto: queries <= small_wave_limit, decided
+    with a limit-bounded count) plans the per-round joins for a SMALL
+    query batch — the interactive serve shape: the frontier/visited/
+    candidate frames are a few thousand rows at most, but they descend
+    from localCheckpoints whose size statistics are UNKNOWN (a
+    checkpointed LogicalRDD defaults to "huge"), so without hints every
+    tiny join — frontier x edges, the visited anti-joins, candidate
+    scoring against the node table — plans as a full shuffle join and
+    the walk becomes per-round fixed exchange cost (measured: 7.5 s for
+    a rounds=2 / 8-query walk over a 20k-node graph whose actual data
+    fits in one task). Explicit broadcasts of the query-derived sides
+    remove every per-round exchange over the graph and node tables
+    (guide §3.1: broadcast the side you KNOW is small — the optimizer
+    cannot). Large waves keep the shuffle plan (query-side frames grow
+    with the wave and must not be broadcast)."""
     edges = graph.select("src", "dst")
     if undirected:
         edges = edges.unionByName(
             graph.select(F.col("dst").alias("src"),
                          F.col("src").alias("dst"))
         ).dropDuplicates(["src", "dst"])
-    nodes = _with_quantized(corpus, id_col, vec_col)
+    # Materialize the edge list ONCE: every round's neighbor join and
+    # every materialization references `edges`; the checkpoint pins the
+    # undirected union+dedup (and any lazy caller build) to one
+    # execution instead of relying on cross-job shuffle-stage reuse,
+    # and caps plan growth across rounds. E rows of two ids — tiny.
+    edges = edges.localCheckpoint(eager=True)
+    if small_wave is None:
+        small_wave = (
+            queries.limit(small_wave_limit + 1).count() <= small_wave_limit
+        )
+
+    def bq(df: DataFrame) -> DataFrame:
+        """Broadcast a query-derived (wave-bounded) frame in small-wave
+        mode; identity in wave mode."""
+        return F.broadcast(df) if small_wave else df
+
     qf = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"),
                        quantize(F.col(vec_col)).alias("_qq"))
         .withColumn("_qn", idot(F.col("_qq"), F.col("_qq"))))
 
-    def score(cand: DataFrame, hop: int) -> DataFrame:
-        return (
-            cand.join(nodes.hint("shuffle_hash"),
-                      cand["node"] == nodes["_id"])
-            .join(qf, "query_id")
-            .select(
+    if small_wave:
+        # Small wave: join candidates against the RAW vector column and
+        # quantize ONLY the surviving rows — streaming the node table
+        # through the quantize+norm HOF expressions costs ~the whole
+        # corpus pass per score() call even when the candidate side is
+        # 50 rows (interpreted HOFs, evaluated below the join's probe;
+        # measured 1.7 s -> 0.2 s per round at 20k nodes). The
+        # candidate side broadcasts, so the node scan never shuffles.
+        raw_nodes = corpus.select(F.col(id_col).alias("_id"),
+                                  F.col(vec_col).alias("_ne"))
+
+        def score(cand: DataFrame, hop: int) -> DataFrame:
+            j = (
+                F.broadcast(cand)
+                .join(raw_nodes, cand["node"] == raw_nodes["_id"])
+                .join(qf, "query_id")
+                # bind the quantized survivor vector ONCE in its own
+                # projection: dot and norm both reference it, and
+                # inlining would re-run the quantize transform per use
+                .select("query_id", "node", "_qq", "_qn",
+                        quantize(F.col("_ne")).alias("_q"))
+            )
+            return j.select(
                 "query_id", "node",
                 cosine_from_quantized(
                     idot(F.col("_q"), F.col("_qq")),
-                    F.col("_norm"), F.col("_qn")).alias("cosine"),
+                    idot(F.col("_q"), F.col("_q")),
+                    F.col("_qn")).alias("cosine"),
                 F.lit(hop).cast("int").alias("hops"),
-            ))
+            )
+    else:
+        # Wave: node vectors quantize once per NODE (a candidate wave
+        # can hit each node many times), exchanges keyed by node id
+        nodes = _with_quantized(corpus, id_col, vec_col)
+
+        def score(cand: DataFrame, hop: int) -> DataFrame:
+            return (
+                cand.join(nodes.hint("shuffle_hash"),
+                          cand["node"] == nodes["_id"])
+                .join(qf, "query_id")
+                .select(
+                    "query_id", "node",
+                    cosine_from_quantized(
+                        idot(F.col("_q"), F.col("_qq")),
+                        F.col("_norm"), F.col("_qn")).alias("cosine"),
+                    F.lit(hop).cast("int").alias("hops"),
+                ))
 
     if seeds is None:
         seed_ids = F.broadcast(
@@ -999,9 +1070,12 @@ def graph_beam_search(
         # multiplies the whole prior plan per round
         visited = visited.localCheckpoint(eager=True)
         # the reference's NGQueue pop: best `beam` VISITED nodes this
-        # query has not expanded yet
+        # query has not expanded yet. All frames here are query-derived
+        # (wave-bounded): in small-wave mode the anti-join build sides
+        # and the frontier side of the edge join broadcast, so the only
+        # scan of graph-sized data per round is the streamed edge list.
         frontier = (
-            visited.join(expanded, ["query_id", "node"], "left_anti")
+            visited.join(bq(expanded), ["query_id", "node"], "left_anti")
             .withColumn("_r", F.row_number().over(wbeam))
             .filter(F.col("_r") <= beam)
             .select("query_id", "node")
@@ -1009,10 +1083,10 @@ def graph_beam_search(
         expanded = expanded.unionByName(frontier) \
             .localCheckpoint(eager=True)
         nbrs = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            bq(frontier).join(edges, frontier["node"] == edges["src"])
             .select("query_id", F.col("dst").alias("node"))
             .dropDuplicates(["query_id", "node"])
-            .join(visited.select("query_id", "node"),
+            .join(bq(visited.select("query_id", "node")),
                   ["query_id", "node"], "left_anti")
         )
         visited = visited.unionByName(score(nbrs, r))

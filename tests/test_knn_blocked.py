@@ -59,3 +59,30 @@ def test_lsh_near_dup_recall_and_precision(emb):
     # recall: sign-LSH with 8 bands of 4 bits on cosine~0.3 pairs
     recall = len(got) / len(exact)
     assert recall >= 0.5, f"recall = {recall}"
+
+
+def test_lsh_block_mode_equals_banded_mode(emb):
+    """The fused blocked LSH scorer must emit the exact pair set (with
+    bit-identical cosines) of the banded candidate-join plan: both
+    compute {pairs agreeing on >= 1 sketch band} ∩ {cosine >= thr}."""
+    from sptag_spark.operators.knn import lsh_near_dup_pairs
+
+    banded = {(r["id_a"], r["id_b"]): r["cosine"]
+              for r in lsh_near_dup_pairs(
+                  emb, threshold=0.3, mode="banded").collect()}
+    block = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in lsh_near_dup_pairs(
+                 emb, threshold=0.3, mode="block").collect()}
+    assert block == banded and len(block) > 0
+
+
+def test_exact_dedup_engines_identical(spark):
+    from sptag_spark.operators.dedup import exact_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["doc_id", "fp", "canonical_doc_id", "n_copies", "is_duplicate"]
+    a = {tuple(r[c] for c in cols)
+         for r in exact_dedup(docs, engine="arrow").collect()}
+    e = {tuple(r[c] for c in cols)
+         for r in exact_dedup(docs, engine="expr").collect()}
+    assert a == e and len(a) == docs.count()

@@ -173,3 +173,55 @@ def test_with_text_stats_arrow_bit_identical(spark):
     a = key(with_text_stats(src).collect())
     b = key(with_text_stats_arrow(src).collect())
     assert a == b and len(a) == src.count()
+
+
+def test_with_lang_id_arrow_bit_identical(spark):
+    """Arrow lang-id kernel vs the expression twin: same scores, same
+    argmax/tiebreak/und semantics, NULL text -> NULL scores + 'und'."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sptag_spark.functions.text import with_lang_id, with_lang_id_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet") \
+        .select("doc_id", "text")
+    cols = ["doc_id", "score_de", "score_en", "score_es", "score_fr",
+            "lang_guess"]
+    want = {tuple(r[c] for c in cols)
+            for r in with_lang_id_expr(docs).collect()}
+    got = {tuple(r[c] for c in cols) for r in with_lang_id(docs).collect()}
+    assert got == want
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "\t la \n"),
+         (5, "la la le el"), (6, "und und und"), (7, "the der el le"),
+         (8, " de y que en la ")],
+        StructType([StructField("doc_id", LongType()),
+                    StructField("text", StringType())]),
+    )
+    e = {tuple(r[c] for c in cols)
+         for r in with_lang_id_expr(edge).collect()}
+    g = {tuple(r[c] for c in cols) for r in with_lang_id(edge).collect()}
+    assert g == e
+
+
+def test_doc_fingerprint_arrow_bit_identical(spark):
+    """Lean fp-only kernel vs the JVM md5(normalize) expression."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from sptag_spark.functions.text import doc_fingerprint, doc_fingerprint_arrow
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    want = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    got = {r["doc_id"]: r["fp"]
+           for r in doc_fingerprint_arrow(docs).collect()}
+    assert got == want
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  UPPER, case!  "), (4, "\tx\n")],
+        StructType([StructField("doc_id", LongType()),
+                    StructField("text", StringType())]),
+    )
+    e = {r["doc_id"]: r["fp"] for r in edge.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    g = {r["doc_id"]: r["fp"] for r in doc_fingerprint_arrow(edge).collect()}
+    assert g == e and g[1] is None
