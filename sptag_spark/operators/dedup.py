@@ -103,50 +103,61 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 def _exploded_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None
+    df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Exploded (doc, shingle) rows with the int64 join surrogate `_h`,
-    hash-repartitioned on `(_h, _id)`.
+    hash-repartitioned on `_h`.
 
     The repartition is THE load-bearing line: every downstream consumer —
     both sides of the Jaccard self-join AND the stop-shingle frequency
-    aggregation — hangs off this one Exchange, so AQE's stage reuse turns
-    them into ReusedExchange reads and the shingle pipeline (normalize
-    regexes + zip_with + explode) executes exactly ONCE per corpus scan
-    instead of four times.
+    aggregation — hangs off this one Exchange. Partitioning on `_h`
+    ALONE satisfies all of them (the join keys on _h; the (_h,_sh)
+    aggregate's clustering is implied), so the frequency aggregate runs
+    single-stage and the self-join adds ZERO further exchanges — the
+    previous (_h,_id) partitioning spread rows for the agg but forced
+    the planner to RE-SHUFFLE both join sides by _h (measured at 50k
+    docs / 2.6M capped rows: two extra 2.6M-row exchanges). Skew safety
+    without the _id spread: the frequency aggregate partial-aggregates
+    map-side (a reducer sees at most one row per upstream partition per
+    shingle, never a hot shingle's raw rows), and the anti-join kills
+    stop shingles BEFORE the self-join probes, so the worst join group
+    is max_df^2 by construction.
 
-    Partitioning on (_h, _id) — not _h alone — is the skew story: a stop
-    shingle's rows SPREAD across reducers by doc id, so no single task
-    ever buffers a hot shingle; the doc-frequency cap is a two-phase
-    aggregate (partial counts local to these partitions, tiny (_h,_sh)
-    merge exchange) whose stop set — bounded by rows/max_df keys BY
-    CONSTRUCTION — broadcasts back as a map-side anti-join. Stop rows
-    therefore die before the self-join's own _h exchange ever sees them.
-    (An earlier window-based cap partitioned rows by _h alone and
-    re-created exactly the hot-key pileup max_df exists to prevent.)"""
+    Shingling runs in the Arrow kernel (corpus._exploded_shingles_arrow
+    — char-identical strings to the word_shingles expression, same
+    distinct/degenerate/NULL semantics; engine='expr' keeps the JVM
+    expression twin): the normalize regex + shingle string churn is the
+    classic single-JVM thread-scaling killer (CLAUDE.md rule 13). The
+    int64 surrogate stays a JVM xxhash64 above the kernel so both
+    engines share one literal hash family."""
     from sptag_spark.session import shuffle_parts
 
-    # round-robin the RAW docs first when the input arrives in fewer
-    # splits than the cluster (CLAUDE.md rule 6): the CPU-dense shingle
-    # expressions run in the scan stage, below the (_h,_id) exchange.
-    df = _ensure_parallel(df)
-    # explode_OUTER, not explode: InferFiltersFromGenerate rewrites a
-    # plain explode into Filter(size(gen)>0 AND isnotnull(gen)) + Generate,
-    # re-inlining the whole shingle expression into the filter — the
-    # normalize regexes would run TWICE per row. word_shingles always
-    # yields >= 1 element, so outer semantics are identical except for
-    # NULL text rows, which the isnotnull(_sh) filter (evaluated on the
-    # generated column, above the Generate) removes as before.
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), n).alias("_shingles"),
-    ).select(
-        "_id",
-        F.size("_shingles").alias("_n_sh"),
-        F.explode_outer("_shingles").alias("_sh"),
-    ).filter(F.col("_sh").isNotNull()) \
+    if engine == "arrow":
+        from sptag_spark.operators.corpus import _exploded_shingles_arrow
+
+        sh = _exploded_shingles_arrow(
+            df, id_col, text_col, n, with_count=True
+        ).withColumn("_n_sh", F.col("_n_sh").cast("int"))  # schema parity
+    else:
+        # explode_OUTER, not explode: InferFiltersFromGenerate rewrites a
+        # plain explode into Filter(size(gen)>0 AND isnotnull(gen)) +
+        # Generate, re-inlining the whole shingle expression into the
+        # filter — the normalize regexes would run TWICE per row.
+        # word_shingles always yields >= 1 element, so outer semantics
+        # are identical except for NULL text rows, which the
+        # isnotnull(_sh) filter removes as before.
+        sh = _ensure_parallel(df).select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), n).alias("_shingles"),
+        ).select(
+            "_id",
+            F.size("_shingles").alias("_n_sh"),
+            F.explode_outer("_shingles").alias("_sh"),
+        )
+    sh = sh.filter(F.col("_sh").isNotNull()) \
         .withColumn("_h", F.xxhash64("_sh")) \
-        .repartition(shuffle_parts(df.sparkSession), "_h", "_id")
+        .repartition(shuffle_parts(df.sparkSession), "_h")
     if max_df is not None:
         # The dummy max() aggregates keep _id/_n_sh referenced in this
         # branch: column pruning would otherwise specialize the branch's
@@ -198,6 +209,7 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_df: int | str | None = "auto",
+    engine: str = "arrow",
 ) -> DataFrame:
     """All pairs (a < b) with shingle-Jaccard >= threshold.
 
@@ -216,21 +228,42 @@ def jaccard_pairs(
     # Self-join on a 64-bit surrogate of the shingle (longs sort/compare
     # ~20% faster than the strings); the exact string equality stays as a
     # post-join check, so a hash collision can never create a false pair.
-    # The PRE-cap set sizes (_n_sh) ride through the join and come out of
-    # the group with any_value semantics — joining a separate sizes frame
-    # back would re-evaluate the shingle expressions twice more.
-    sh = _exploded_shingles(df, id_col, text_col, n, max_df)
+    sh = _exploded_shingles(df, id_col, text_col, n, max_df, engine=engine)
     a, b = sh.alias("a"), sh.alias("b")
-    out = (
-        a.join(b, (F.col("a._h") == F.col("b._h"))
+    # Shuffle KEYS, not payloads (guide §2.3): co-occurring pairs are
+    # almost all DISTINCT (measured 114M distinct of 127M generated at
+    # 50k docs), so the map-side partial aggregate compresses ~nothing
+    # and every partial row crosses the exchange — carrying the n_a/n_b
+    # sizes on each pair row is a third more shuffle bytes for values
+    # that are functions of the doc id. The pair exchange therefore
+    # ships only (id_a, id_b, partial count); the PRE-cap set sizes
+    # re-attach from a ~n_docs-row broadcast frame (itself a fourth
+    # branch of the same shingle exchange) after the aggregate.
+    counts = (
+        # shuffle_hash: both sides already cluster on _h (one reused
+        # exchange); hash-probing the ~40k-row-per-partition build side
+        # beats SMJ's two per-partition sorts (measured 6.4 -> 4.5 s on
+        # the 127M-pair join at 50k docs)
+        a.join(b.hint("shuffle_hash"),
+               (F.col("a._h") == F.col("b._h"))
                & (F.col("a._id") < F.col("b._id")))
         .filter(F.col("a._sh") == F.col("b._sh"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first(F.col("a._n_sh")).alias("n_a"),
-            F.first(F.col("b._n_sh")).alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = F.broadcast(
+        sh.groupBy("_id").agg(
+            F.first("_n_sh").alias("_n_sh"),
+            F.max("_h").alias("_prune_guard_h"),
+            F.max("_sh").alias("_prune_guard_sh"),
+        ).select("_id", "_n_sh")
+    )
+    out = (
+        counts
+        .join(sizes.select(F.col("_id").alias("id_a"),
+                           F.col("_n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"),
+                           F.col("_n_sh").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

@@ -591,6 +591,7 @@ def refine_knn_graph(
     vec_col: str = "embedding",
     include_reverse: bool = True,
     score_unordered: bool = False,
+    broadcast_vectors: bool | str = "auto",
 ) -> DataFrame:
     """Graph refinement — the reference's RefineGraph pass
     (NeighborhoodGraph.h:444-465 runs it after the TPT init; loop at
@@ -674,6 +675,50 @@ def refine_knn_graph(
     # bytes of a pre-quantized long array, and the norm columns drop
     # out entirely (recomputed exactly from the ints in-kernel). The
     # wide candidate shuffle IS the refine pass's cost at scale.
+    #
+    # broadcast_vectors ('auto': numeric ids AND quantized matrix under
+    # ~128 MB) instead ships the WHOLE vector matrix to the scoring
+    # kernel as a broadcast closure and streams candidates as NARROW
+    # (src, dst) pairs — the reference's own memory model (RefineGraph
+    # runs over a fully resident vector set), applied exactly when it
+    # fits. Both per-iteration vector-attach joins disappear and every
+    # exchange in the loop carries two ids + a double instead of a
+    # 64-float payload. Values are bit-identical: same np_quantize,
+    # same int64 dots, same sqrt/multiply order. Past the bound the
+    # relational joins remain the 100-TB path.
+    from pyspark.sql.types import IntegralType
+
+    n_rows, dim = None, None
+    if broadcast_vectors == "auto":
+        if isinstance(df.schema[id_col].dataType, IntegralType):
+            stats = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.first(F.size(F.col(vec_col))).alias("d")).first()
+            n_rows, dim = stats["n"], stats["d"] or 0
+            broadcast_vectors = n_rows * dim * 8 <= 128 * 1024 * 1024
+        else:
+            broadcast_vectors = False
+    if broadcast_vectors and score_unordered:
+        # score_unordered exists for the spill-bound regime where the
+        # matrix cannot be resident; the combination is contradictory
+        broadcast_vectors = False
+
+    bc_vectors = None
+    if broadcast_vectors:
+        # Arrow collect (toArrow), never the py4j row path — collecting
+        # vector rows row-at-a-time costs seconds at 20k rows
+        tbl = df.select(F.col(id_col).alias("_id"),
+                        F.col(vec_col).alias("_e")).toArrow()
+        ids_np = tbl.column("_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        X = list_to_matrix(tbl.column("_e"), np.float64)
+        order = np.argsort(ids_np, kind="stable")
+        ids_np = ids_np[order]
+        Xq = np_quantize(X[order])
+        nrm_np = np.sqrt((Xq * Xq).sum(axis=1).astype(np.float64))
+        bc_vectors = df.sparkSession.sparkContext.broadcast(
+            (ids_np, Xq, nrm_np))
+
     src_side = df.select(F.col(id_col).alias("src"),
                          F.col(vec_col).alias("_se"))
     dst_side = df.select(F.col(id_col).alias("dst"),
@@ -707,6 +752,31 @@ def refine_knn_graph(
                 schema=arrow_out,
             )
 
+    def bcast_dot_kernel(batches):
+        # same arithmetic as dot_kernel (int64 dots, sqrt-then-multiply
+        # in float64), vectors looked up from the broadcast matrix
+        ids_b, Xq_b, nrm_b = bc_vectors.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            s = batch.column("src").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            d = batch.column("dst").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            si = np.searchsorted(ids_b, s)
+            di = np.searchsorted(ids_b, d)
+            if (ids_b[si] != s).any() or (ids_b[di] != d).any():
+                raise ValueError(
+                    "refine_knn_graph: graph references ids absent "
+                    "from the corpus frame")
+            dots = np.einsum("ij,ij->i", Xq_b[si], Xq_b[di])
+            cos = dots.astype(np.float64) / (nrm_b[si] * nrm_b[di])
+            yield pa.record_batch(
+                [batch.column("src"), batch.column("dst"),
+                 pa.array(cos, pa.float64())],
+                schema=arrow_out,
+            )
+
     w = Window.partitionBy("src").orderBy(
         F.col("cosine").desc(), F.col("dst").asc()
     )
@@ -727,7 +797,15 @@ def refine_knn_graph(
             .filter(F.col("src") != F.col("dst"))
         )
         dtype = graph.schema["src"].dataType.simpleString()
-        if include_reverse and score_unordered:
+        if bc_vectors is not None:
+            # in-memory vector matrix: candidates stay NARROW end to
+            # end — one (src,dst) dedup exchange, the map-side lookup
+            # kernel, and the top-k window's own exchange
+            cand = cand.dropDuplicates(["src", "dst"])
+            scored = cand.mapInArrow(
+                bcast_dot_kernel, schema=f"src {dtype}, dst {dtype}, "
+                                         "cosine double")
+        elif include_reverse and score_unordered:
             # With reversals the candidate set is SYMMETRIC as a set of
             # ordered pairs (base is edges ∪ reverse(edges); for any
             # expansion path s→v→d through base, the reversed path
@@ -784,6 +862,20 @@ def refine_knn_graph(
             # references these edges three times (see step 6); the
             # FINAL frame is consumed once by the caller, so an eager
             # checkpoint there would be a wasted materialize+re-read.
+            #
+            # Right-size the checkpoint's partition count to its ~N*k
+            # ROWS (guide §2.2): the window leaves 2x-shuffle-partition
+            # layouts whose near-empty partitions then cost a fixed
+            # ~250 ms task apiece in EVERY downstream stage of the next
+            # iteration (the expansion self-join reads this frame
+            # twice) — measured 3.5 s -> 1.3 s per iteration at 240k
+            # edges just from collapsing 128 task stubs to 8.
+            if n_rows:
+                from sptag_spark.session import shuffle_parts
+
+                parts = max(1, min(shuffle_parts(df.sparkSession),
+                                   (n_rows * k) // 20_000 + 1))
+                ranked = ranked.coalesce(parts)
             ranked = ranked.localCheckpoint(eager=True)
         edges = ranked.select("src", "dst")
     return ranked.select(
@@ -982,11 +1074,16 @@ def graph_beam_search(
     # undirected union+dedup (and any lazy caller build) to one
     # execution instead of relying on cross-job shuffle-stage reuse,
     # and caps plan growth across rounds. E rows of two ids — tiny.
-    edges = edges.localCheckpoint(eager=True)
     if small_wave is None:
         small_wave = (
             queries.limit(small_wave_limit + 1).count() <= small_wave_limit
         )
+    if small_wave:
+        # a union+dedup leaves a 2x-shuffle-partition layout; every
+        # near-empty partition costs a fixed per-task overhead in every
+        # round's edge join (guide §2.2) — collapse before pinning
+        edges = edges.coalesce(16)
+    edges = edges.localCheckpoint(eager=True)
 
     def bq(df: DataFrame) -> DataFrame:
         """Broadcast a query-derived (wave-bounded) frame in small-wave
@@ -1063,12 +1160,19 @@ def graph_beam_search(
     spark = graph.sparkSession
     expanded = spark.createDataFrame(
         [], visited.select("query_id", "node").schema)
+    def chk(df: DataFrame) -> DataFrame:
+        # small wave: visited/expanded are a few hundred rows — collapse
+        # the inherited shuffle layout so per-round stages don't launch
+        # dozens of empty tasks (guide §2.2)
+        return (df.coalesce(4) if small_wave else df) \
+            .localCheckpoint(eager=True)
+
     for r in range(1, rounds + 1):
         # between-round materialization, as in refine_knn_graph:
         # `visited` is referenced three times per round (frontier
         # selection, candidate anti-join, union), so a lazy chain
         # multiplies the whole prior plan per round
-        visited = visited.localCheckpoint(eager=True)
+        visited = chk(visited)
         # the reference's NGQueue pop: best `beam` VISITED nodes this
         # query has not expanded yet. All frames here are query-derived
         # (wave-bounded): in small-wave mode the anti-join build sides
@@ -1080,8 +1184,7 @@ def graph_beam_search(
             .filter(F.col("_r") <= beam)
             .select("query_id", "node")
         )
-        expanded = expanded.unionByName(frontier) \
-            .localCheckpoint(eager=True)
+        expanded = chk(expanded.unionByName(frontier))
         nbrs = (
             bq(frontier).join(edges, frontier["node"] == edges["src"])
             .select("query_id", F.col("dst").alias("node"))

@@ -242,3 +242,19 @@ def test_simhash_sketch_arrow_bit_identical(spark):
     a = {r["_id"]: r["sim"] for r in simhash_sketch_arrow(edge).collect()}
     # NULL text: every bit's vote is the when(null)->otherwise(-1) loss
     assert e == a and a[3] == 0
+
+
+def test_jaccard_engines_identical(spark):
+    """Arrow shingle kernel vs the word_shingles expression path: the
+    full jaccard pipeline (cap, join, aggregate) must emit identical
+    rows with identical schema."""
+    from sptag_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["id_a", "id_b", "n_a", "n_b", "n_common", "jaccard"]
+    a = jaccard_pairs(docs, threshold=0.2, engine="arrow")
+    e = jaccard_pairs(docs, threshold=0.2, engine="expr")
+    assert a.schema == e.schema
+    ra = {tuple(r[c] for c in cols) for r in a.collect()}
+    re_ = {tuple(r[c] for c in cols) for r in e.collect()}
+    assert ra == re_ and len(ra) > 0
