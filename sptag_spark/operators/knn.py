@@ -706,6 +706,35 @@ def assign_buckets(
     return with_q.mapInArrow(run_rep, schema=out_schema)
 
 
+def _probe_pairs_np(X, cent_ids, cent_mat, cent_norms, nprobe: int,
+                    max_dist_ratio: float | None):
+    """(row_indices, buckets) for a quantized query matrix — the pure
+    numpy core shared by the Arrow probe kernels and the driver-side
+    small-batch fast path (bit-identical: exact int64 dots, IEEE
+    float64 cosine, stable argsort, the reference's adaptive d2 <=
+    d2_first * ratio^2 cutoff)."""
+    import numpy as np
+
+    ids = np.asarray(cent_ids)
+    vsq = (X * X).sum(axis=1)
+    norms = np.sqrt(vsq.astype(np.float64))
+    dots = exact_int_matmul(X, cent_mat.T)
+    cos = dots / (norms[:, None] * cent_norms[None, :])
+    order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+    if max_dist_ratio is None:
+        n, m = order.shape
+        rows = np.repeat(np.arange(n, dtype=np.int64), m)
+        return rows, ids[order].reshape(-1)
+    cent_sq = (cent_mat.astype(np.int64) ** 2).sum(axis=1)
+    d2 = (vsq[:, None] + cent_sq[order]
+          - 2 * np.take_along_axis(dots, order, axis=1)
+          ).astype(np.float64)
+    keep = d2 <= d2[:, :1] * (float(max_dist_ratio) ** 2)
+    keep[:, 0] = True              # the nearest head always probes
+    rows, cols = np.nonzero(keep)
+    return rows.astype(np.int64), ids[order[rows, cols]]
+
+
 def _probe_buckets(
     queries: DataFrame,
     centroids: DataFrame,
@@ -737,58 +766,23 @@ def _probe_buckets(
         StructField("bucket", centroids.schema["centroid_id"].dataType),
     ])
 
-    if max_dist_ratio is None:
-        top = _nearest_centroid_kernel(
-            cent_ids, cent_mat, cent_norms, nprobe)
-
-        def run(batches):
-            for batch in batches:
-                X = list_to_matrix(batch.column("__q"), np.int64)
-                if len(X) == 0:
-                    continue
-                b = top(X)                                  # (n, nprobe)
-                n, m = b.shape
-                qid = batch.column("query_id")
-                if isinstance(qid, pa.ChunkedArray):
-                    qid = qid.combine_chunks()
-                qids = np.repeat(qid.to_numpy(zero_copy_only=False), m)
-                yield pa.RecordBatch.from_arrays(
-                    [pa.array(qids), pa.array(b.reshape(-1))],
-                    names=["query_id", "bucket"],
-                )
-
-        return q.mapInArrow(run, schema=out_schema)
-
-    ids = np.asarray(cent_ids)
-    cent_sq = (cent_mat.astype(np.int64) ** 2).sum(axis=1)  # |c|² int64
-    ratio_sq = float(max_dist_ratio) ** 2
-
-    def run_cut(batches):
+    def run(batches):
         for batch in batches:
             X = list_to_matrix(batch.column("__q"), np.int64)
             if len(X) == 0:
                 continue
-            vsq = (X * X).sum(axis=1)                       # |v|² int64
-            norms = np.sqrt(vsq.astype(np.float64))
-            dots = exact_int_matmul(X, cent_mat.T)
-            cos = dots / (norms[:, None] * cent_norms[None, :])
-            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-            d2 = (vsq[:, None] + cent_sq[order]
-                  - 2 * np.take_along_axis(dots, order, axis=1)
-                  ).astype(np.float64)                      # (n, nprobe)
-            keep = d2 <= d2[:, :1] * ratio_sq
-            keep[:, 0] = True          # the nearest head always probes
-            rows, cols = np.nonzero(keep)
+            rows, buckets = _probe_pairs_np(
+                X, cent_ids, cent_mat, cent_norms, nprobe, max_dist_ratio)
             qid = batch.column("query_id")
             if isinstance(qid, pa.ChunkedArray):
                 qid = qid.combine_chunks()
             qids = qid.to_numpy(zero_copy_only=False)[rows]
             yield pa.RecordBatch.from_arrays(
-                [pa.array(qids), pa.array(ids[order[rows, cols]])],
+                [pa.array(qids), pa.array(buckets)],
                 names=["query_id", "bucket"],
             )
 
-    return q.mapInArrow(run_cut, schema=out_schema)
+    return q.mapInArrow(run, schema=out_schema)
 
 
 def _score_candidates(
@@ -2037,6 +2031,28 @@ def _resolve_probes(spark, path: str, probes: DataFrame,
     return probe_mode, probes_resolved, prune
 
 
+def _load_centroids_local(path: str):
+    """Centroid table -> (ids, quantized matrix, norms, bucket arrow
+    type) via a DRIVER pyarrow read on local index paths — zero Spark
+    jobs, where spark.read + _collect_centroids costs a scheduler
+    round-trip per probe call. np_quantize is the bit-identical HALF_UP
+    twin of the JVM quantize expression the collect path applies.
+    Returns None for non-local paths (caller falls back)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    if not _is_local_fs_path(path):
+        return None
+    tbl = pq.read_table(f"{path}/centroids")
+    ids_raw = tbl.column("centroid_id").to_numpy(zero_copy_only=False)
+    V = list_to_matrix(tbl.column("centroid_vec"), np.float64)
+    order = np.argsort(ids_raw, kind="stable")  # ascending-id contract
+    ids = ids_raw[order]
+    mat = np_quantize(V[order])
+    norms = np.sqrt((mat * mat).sum(axis=1).astype(np.float64))
+    return list(ids), mat, norms, tbl.schema.field("centroid_id").type
+
+
 def ivf_probe(
     spark,
     path: str,
@@ -2049,21 +2065,78 @@ def ivf_probe(
     probe_mode: str = "auto",
     max_dist_ratio: float | None = None,
     probe_scratch_dir: str | None = None,
+    driver_probe_limit: int = 10_000,
 ) -> DataFrame:
     """Probe a persisted IVF index: nprobe bucket ids per query via the
     centroid kernel, then the shared partition-pruned scoring tail
     (see probe_pruned_topk for the driver/join strategy split — query
     batches prune statically, query waves prune dynamically).
     `max_dist_ratio` drops probe heads farther than ratio× the nearest
-    head's distance (_probe_buckets — fewer partitions read for easy
-    queries); `probe_scratch_dir` relocates join-mode side tables off
-    the index path (read-only shared indexes)."""
+    head's distance (fewer partitions read for easy queries);
+    `probe_scratch_dir` relocates join-mode side tables off the index
+    path (read-only shared indexes).
+
+    Small batches (<= driver_probe_limit, the same bound that already
+    gates the static-IN pruning) compute their probe buckets ON THE
+    DRIVER: one Arrow collect of the queries replaces the mode-deciding
+    count job AND the probe-kernel job, and the centroid matrix comes
+    from a driver pyarrow read instead of a collect job — an
+    interactive probe pays one cluster job total before scoring, not
+    four. Identical math (_probe_pairs_np) and identical downstream
+    plan; waves keep the executor-side kernel + dynamic pruning."""
+    local_q = None
+    if probe_mode == "driver":
+        local_q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__e")).toArrow()
+    elif probe_mode == "auto":
+        t = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__e")) \
+            .limit(driver_probe_limit + 1).toArrow()
+        if t.num_rows <= driver_probe_limit:
+            local_q = t
+    if local_q is not None:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.pandas.types import from_arrow_type
+        from pyspark.sql.types import StructField, StructType
+
+        loaded = _load_centroids_local(path)
+        if loaded is not None:
+            cent_ids, cent_mat, cent_norms, bucket_at = loaded
+            bucket_dt = from_arrow_type(bucket_at)
+        else:
+            centroids = spark.read.parquet(f"{path}/centroids")
+            cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
+            bucket_dt = centroids.schema["centroid_id"].dataType
+        X = np_quantize(list_to_matrix(local_q.column("__e"), np.float64))
+        if len(X):
+            rows, buckets = _probe_pairs_np(
+                X, cent_ids, cent_mat, cent_norms, nprobe, max_dist_ratio)
+            qids = local_q.column("query_id") \
+                .to_numpy(zero_copy_only=False)[rows]
+        else:
+            qids, buckets = [], []
+        probes = spark.createDataFrame(
+            pd.DataFrame({"query_id": qids, "bucket": buckets}),
+            schema=StructType([
+                StructField("query_id", queries.schema[id_col].dataType),
+                StructField("bucket", bucket_dt),
+            ]))
+        return probe_pruned_topk(spark, path, probes, queries, k,
+                                 id_col, vec_col, predicate,
+                                 probe_mode="driver",
+                                 driver_probe_limit=driver_probe_limit,
+                                 probe_scratch_dir=probe_scratch_dir)
     centroids = spark.read.parquet(f"{path}/centroids")
     probes = _probe_buckets(queries, centroids, nprobe, id_col, vec_col,
                             max_dist_ratio=max_dist_ratio)
     return probe_pruned_topk(spark, path, probes, queries, k,
                              id_col, vec_col, predicate,
-                             probe_mode=probe_mode,
+                             probe_mode="join" if probe_mode == "auto"
+                             else probe_mode,
+                             driver_probe_limit=driver_probe_limit,
                              probe_scratch_dir=probe_scratch_dir)
 
 
