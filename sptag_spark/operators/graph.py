@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import math
 import threading
+import weakref
 
 import numpy as np
 import pandas as pd
@@ -210,8 +211,16 @@ def _np_descend(pos, P, lv, depth, node, out):
 # run one at a time (a second build evicts the first's cache, so a
 # caller holding an unmaterialized lazy plan from a prior build must
 # materialize it first).
-_STAGE_CACHE: dict = {}
+# WeakKeyDictionary: a stopped/dropped session's slot (and its pinned
+# persist metadata) is reclaimed with the session object instead of
+# accumulating one dead entry per session in a long-lived process
+# (ADVICE r6).
+_STAGE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 _STAGE_LOCK = threading.Lock()
+
+# corpora at or under this row count broadcast their vector sides in
+# refine_knn_graph's re-rank joins (~128 MB of raw floats at dim 64)
+_BCAST_JOIN_ROWS = 500_000
 
 
 def _tpt_stage(
@@ -591,7 +600,7 @@ def refine_knn_graph(
     vec_col: str = "embedding",
     include_reverse: bool = True,
     score_unordered: bool = False,
-    broadcast_vectors: bool | str = "auto",
+    broadcast_vectors: bool | str = False,
 ) -> DataFrame:
     """Graph refinement — the reference's RefineGraph pass
     (NeighborhoodGraph.h:444-465 runs it after the TPT init; loop at
@@ -677,15 +686,18 @@ def refine_knn_graph(
     # wide candidate shuffle IS the refine pass's cost at scale.
     #
     # broadcast_vectors ('auto': numeric ids AND quantized matrix under
-    # ~128 MB) instead ships the WHOLE vector matrix to the scoring
-    # kernel as a broadcast closure and streams candidates as NARROW
-    # (src, dst) pairs — the reference's own memory model (RefineGraph
-    # runs over a fully resident vector set), applied exactly when it
-    # fits. Both per-iteration vector-attach joins disappear and every
-    # exchange in the loop carries two ids + a double instead of a
-    # 64-float payload. Values are bit-identical: same np_quantize,
-    # same int64 dots, same sqrt/multiply order. Past the bound the
-    # relational joins remain the 100-TB path.
+    # ~128 MB; default OFF) instead ships the WHOLE vector matrix to the
+    # scoring kernel as a broadcast closure and streams candidates as
+    # NARROW (src, dst) pairs — the reference's own memory model
+    # (RefineGraph runs over a fully resident vector set). Both
+    # per-iteration vector-attach joins disappear and every exchange in
+    # the loop carries two ids + a double instead of a 64-float payload.
+    # Values are bit-identical: same np_quantize, same int64 dots, same
+    # sqrt/multiply order. Measured trade at 20k x 64 / iters=2: the
+    # setup (stats job + Arrow collect + broadcast, ~1.5 s) exceeds the
+    # per-iteration exchange savings, so it stays OPT-IN — it pays at
+    # higher iteration counts or wider vectors, and past the byte bound
+    # the relational joins are the 100-TB path regardless.
     from pyspark.sql.types import IntegralType
 
     n_rows, dim = None, None
@@ -698,6 +710,11 @@ def refine_knn_graph(
             broadcast_vectors = n_rows * dim * 8 <= 128 * 1024 * 1024
         else:
             broadcast_vectors = False
+    elif not broadcast_vectors and iters > 1:
+        # the between-iteration checkpoint coalesce (below) right-sizes
+        # partition counts from the row count; one metadata-cheap count
+        # buys ~2 s/iteration of empty-task overhead at bench scale
+        n_rows = df.count()
     if broadcast_vectors and score_unordered:
         # score_unordered exists for the spill-bound regime where the
         # matrix cannot be resident; the combination is contradictory
@@ -843,11 +860,26 @@ def refine_knn_graph(
             # there). One exchange serves dedup AND the dst-side join
             # (rule 17); joining src LAST leaves the kernel output
             # clustered by src, so the top-k window adds NO exchange.
+            #
+            # When the corpus is provably small (n_rows known and under
+            # ~500k rows ≈ 128 MB of raw floats at dim 64), BROADCAST
+            # the vector sides instead of shuffle-hash: the src join
+            # otherwise re-exchanges the candidate frame WIDE (dst
+            # vector attached — the pass's dominant shuffle); with
+            # broadcasts no candidate row ever crosses an exchange
+            # carrying a vector. Past the bound (or unknown size) the
+            # shuffle-hash plan remains — broadcasting an unbounded
+            # corpus is exactly the wrong 100-TB move.
+            small = n_rows is not None and n_rows <= _BCAST_JOIN_ROWS
             cand = cand.repartition("dst") \
                 .dropDuplicates(["src", "dst"])
+            dstj = F.broadcast(dst_side) if small \
+                else dst_side.hint("shuffle_hash")
+            srcj = F.broadcast(src_side) if small \
+                else src_side.hint("shuffle_hash")
             pairs = (
-                cand.join(dst_side.hint("shuffle_hash"), "dst")
-                .join(src_side.hint("shuffle_hash"), "src")
+                cand.join(dstj, "dst")
+                .join(srcj, "src")
                 .select("src", "dst", "_se", "_de")
             )
             scored = pairs.mapInArrow(
@@ -1152,7 +1184,11 @@ def graph_beam_search(
         cand = queries.select(
             F.col(id_col).alias("query_id")).crossJoin(seed_ids)
     else:
-        cand = seeds.select("query_id", "node")
+        # dedup caller-supplied seeds: the (query_id, node) contract
+        # doesn't require uniqueness, and a duplicated seed row would
+        # otherwise occupy two ranks in the final top-k (ADVICE r6)
+        cand = seeds.select("query_id", "node") \
+            .dropDuplicates(["query_id", "node"])
 
     wbeam = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("node").asc())
@@ -1236,7 +1272,6 @@ def graph_append(
     Deterministic end-to-end. Approximation matches the reference's:
     new-node edges are as good as the beam search; a refine_knn_graph
     pass afterwards is the RefineIndex analog."""
-    new_ids = new_df.select(F.col(id_col))
     # 1. forward: new vectors search the existing graph
     found = graph_beam_search(
         graph, corpus, new_df, k=k + 1, beam=beam, rounds=rounds,

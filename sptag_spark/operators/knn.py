@@ -2384,6 +2384,10 @@ def _budgeted_scan(
     # and would diverge from the centroid matrix + oracle on exact ties
     q = np_quantize(np.asarray([query_vec], dtype=np.float64))[0]
     qnorm = float(np.sqrt(float((q * q).sum())))
+    if walk not in ("auto", "flat", "tree"):
+        # a typo (e.g. 'Tree') would otherwise silently take the flat
+        # order, which differs from the tree descent on bkt indexes
+        raise ValueError(f"walk must be 'auto'|'flat'|'tree', got {walk!r}")
     if walk == "auto":
         walk = ("tree" if read_index_meta(spark, path)
                 .get("index_type") == "bkt" else "flat")
@@ -2519,6 +2523,10 @@ def _budgeted_probes_batch(
                                    StructType)
 
     sizes = read_posting_sizes(spark, path)
+    if walk not in ("auto", "flat", "tree"):
+        # a typo (e.g. 'Tree') would otherwise silently take the flat
+        # order, which differs from the tree descent on bkt indexes
+        raise ValueError(f"walk must be 'auto'|'flat'|'tree', got {walk!r}")
     if walk == "auto":
         walk = ("tree" if read_index_meta(spark, path)
                 .get("index_type") == "bkt" else "flat")

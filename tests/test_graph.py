@@ -436,10 +436,8 @@ def test_graph_append_invariants_and_quality(emb, oracle):
         got_pairs = {(s, d): c for _, d, c in rows}
         if s not in back_cands:
             # untouched: bit-identical to the original adjacency
-            assert all(base[(s, d)][0] == c
-                       for (sd, d), c in
-                       [((s, d), c) for (_, d, c) in
-                        [(None, d, c) for _, d, c in rows]]) or True
+            # (cosines AND the (dst, cosine) set)
+            assert all(base[(s, d)][0] == c for _, d, c in rows)
             assert {(d, c) for _, d, c in rows} == \
                 {(d, cc) for (ss, d), (cc, _) in base.items() if ss == s}
     # new nodes reach real neighbors: recall vs exact top-K over the
