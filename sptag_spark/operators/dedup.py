@@ -106,31 +106,37 @@ def _exploded_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, max_df: int | None,
     engine: str = "arrow",
 ) -> DataFrame:
-    """Exploded (doc, shingle) rows with the int64 join surrogate `_h`,
-    hash-repartitioned on `_h`.
+    """Exploded (doc, shingle) rows hash-repartitioned on the shingle
+    string `_sh`.
 
     The repartition is THE load-bearing line: every downstream consumer —
     both sides of the Jaccard self-join AND the stop-shingle frequency
-    aggregation — hangs off this one Exchange. Partitioning on `_h`
-    ALONE satisfies all of them (the join keys on _h; the (_h,_sh)
-    aggregate's clustering is implied), so the frequency aggregate runs
-    single-stage and the self-join adds ZERO further exchanges — the
-    previous (_h,_id) partitioning spread rows for the agg but forced
-    the planner to RE-SHUFFLE both join sides by _h (measured at 50k
-    docs / 2.6M capped rows: two extra 2.6M-row exchanges). Skew safety
-    without the _id spread: the frequency aggregate partial-aggregates
-    map-side (a reducer sees at most one row per upstream partition per
-    shingle, never a hot shingle's raw rows), and the anti-join kills
-    stop shingles BEFORE the self-join probes, so the worst join group
-    is max_df^2 by construction.
+    aggregation — hangs off this one Exchange. Partitioning on `_sh`
+    ALONE — the exact join key — matters because joins require their
+    children co-partitioned on ALL join keys
+    (spark.sql.requireAllClusterKeysForCoPartition, default true; subset
+    satisfaction applies to aggregates/windows, NOT joins): the string
+    equality check is pushed into the join as an equi-key, so any
+    partitioning that isn't exactly the join-key set forced BOTH 2.6M-row
+    join sides through ENSURE_REQUIREMENTS re-exchanges (visible in
+    plans/r07/dedup_jaccard_before.txt: hashpartitioning(_h,_sh)
+    ENSURE_REQUIREMENTS stacked on the repartition). With `_sh` as both
+    the partition key and the
+    only join key, the self-join and the frequency aggregate consume the
+    one exchange directly. The old int64 xxhash64 surrogate `_h` is
+    dropped: once the string is a join key anyway, the surrogate adds
+    bytes and a second key comparison for nothing. Skew safety: the
+    frequency aggregate partial-aggregates map-side (a reducer sees at
+    most one row per upstream partition per shingle, never a hot
+    shingle's raw rows), and the anti-join kills stop shingles BEFORE
+    the self-join probes, so the worst join group is max_df^2 by
+    construction.
 
     Shingling runs in the Arrow kernel (corpus._exploded_shingles_arrow
     — char-identical strings to the word_shingles expression, same
     distinct/degenerate/NULL semantics; engine='expr' keeps the JVM
     expression twin): the normalize regex + shingle string churn is the
-    classic single-JVM thread-scaling killer (CLAUDE.md rule 13). The
-    int64 surrogate stays a JVM xxhash64 above the kernel so both
-    engines share one literal hash family."""
+    classic single-JVM thread-scaling killer (CLAUDE.md rule 13)."""
     from sptag_spark.session import shuffle_parts
 
     if engine == "arrow":
@@ -156,15 +162,14 @@ def _exploded_shingles(
             F.explode_outer("_shingles").alias("_sh"),
         )
     sh = sh.filter(F.col("_sh").isNotNull()) \
-        .withColumn("_h", F.xxhash64("_sh")) \
-        .repartition(shuffle_parts(df.sparkSession), "_h")
+        .repartition(shuffle_parts(df.sparkSession), "_sh")
     if max_df is not None:
         # The dummy max() aggregates keep _id/_n_sh referenced in this
         # branch: column pruning would otherwise specialize the branch's
-        # copy of the exchange to (_h,_sh) only, making it canonically
+        # copy of the exchange to _sh only, making it canonically
         # different from the join sides' copy and defeating stage reuse
         # (= a second scan + second shingle evaluation).
-        freq = sh.groupBy("_h", "_sh").agg(
+        freq = sh.groupBy("_sh").agg(
             F.count(F.lit(1)).alias("_df"),
             F.max("_id").alias("_prune_guard_id"),
             F.max("_n_sh").alias("_prune_guard_n"),
@@ -225,9 +230,10 @@ def jaccard_pairs(
     """
     if max_df == "auto":
         max_df = auto_max_df(df)
-    # Self-join on a 64-bit surrogate of the shingle (longs sort/compare
-    # ~20% faster than the strings); the exact string equality stays as a
-    # post-join check, so a hash collision can never create a false pair.
+    # Self-join on the exact shingle string — it is the join KEY, not a
+    # post-join check, so both sides consume the shared `_sh` exchange
+    # directly (see _exploded_shingles: joins need co-partitioning on
+    # ALL join keys).
     sh = _exploded_shingles(df, id_col, text_col, n, max_df, engine=engine)
     a, b = sh.alias("a"), sh.alias("b")
     # Shuffle KEYS, not payloads (guide §2.3): co-occurring pairs are
@@ -240,21 +246,18 @@ def jaccard_pairs(
     # re-attach from a ~n_docs-row broadcast frame (itself a fourth
     # branch of the same shingle exchange) after the aggregate.
     counts = (
-        # shuffle_hash: both sides already cluster on _h (one reused
-        # exchange); hash-probing the ~40k-row-per-partition build side
-        # beats SMJ's two per-partition sorts (measured 6.4 -> 4.5 s on
-        # the 127M-pair join at 50k docs)
+        # shuffle_hash: hash-probing the ~40k-row-per-partition build
+        # side beats SMJ's two per-partition sorts (measured 6.4 ->
+        # 4.5 s on the 127M-pair join at 50k docs)
         a.join(b.hint("shuffle_hash"),
-               (F.col("a._h") == F.col("b._h"))
+               (F.col("a._sh") == F.col("b._sh"))
                & (F.col("a._id") < F.col("b._id")))
-        .filter(F.col("a._sh") == F.col("b._sh"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sizes = F.broadcast(
         sh.groupBy("_id").agg(
             F.first("_n_sh").alias("_n_sh"),
-            F.max("_h").alias("_prune_guard_h"),
             F.max("_sh").alias("_prune_guard_sh"),
         ).select("_id", "_n_sh")
     )
@@ -523,6 +526,11 @@ def jaccard_pairs_lsh(
     # magnitude smaller than the corpus, so the expensive JVM shingle
     # expression runs on a sliver (an earlier shape shingled and
     # shuffled the whole corpus to serve a few hundred candidates).
+    # (An Arrow array-shingle kernel + broadcast-candidate variant of
+    # this verify measured WORSE at 50k docs — 5.4 -> 6.3-7.1 s: the
+    # kernel forces an extra .rdd plan compile + repartition over a
+    # join output and breaks inline evaluation above the semi-join —
+    # so the expression verify stands, r7.)
     cand = minhash_lsh_pairs(df, id_col, text_col, num_hashes, bands, n)
     cand_ids = (
         cand.select(F.col("id_a").alias("_id"))

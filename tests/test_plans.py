@@ -255,8 +255,14 @@ def test_jaccard_single_scan_with_exchange_reuse(docs):
     """The Jaccard self-join must evaluate the shingle pipeline ONCE:
     after execution the adaptive plan shows exactly one parquet scan and
     ReusedExchange reads everywhere else (second join side + the df-cap
-    frequency branch). The row-level exchange partitions on (_h, _id) so
-    a hot stop-shingle spreads across reducers instead of pinning one."""
+    frequency + sizes branches). The shared exchange partitions on the
+    shingle string `_sh` — exactly the self-join's key set, so BOTH join
+    sides consume it directly (joins require co-partitioning on ALL join
+    keys; any other partitioning re-exchanged 2.6M rows per side at
+    bench scale, r7) — and no ENSURE_REQUIREMENTS re-exchange may appear
+    between the repartition and the join."""
+    import re
+
     from sptag_spark.operators.dedup import jaccard_pairs
 
     df = jaccard_pairs(docs, threshold=0.5)
@@ -265,11 +271,15 @@ def test_jaccard_single_scan_with_exchange_reuse(docs):
         .split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
     assert "ReusedExchange" in final
-    # skew guard: the exploded rows are spread by (_h, _id), never _h only
-    assert "hashpartitioning(_h" in final
-    import re
-    row_ex = re.findall(r"hashpartitioning\(_h#\d+L, _id", final)
-    assert row_ex, "exploded-shingle exchange must partition on (_h,_id)"
+    # the shared row-level exchange keys on the join key _sh
+    assert re.search(r"hashpartitioning\(_sh#\d+, \d+\), REPARTITION",
+                     final), final
+    # the self-join consumes the repartition directly: no planner-
+    # inserted re-exchange of the exploded rows (the sizes branch's
+    # per-doc aggregate exchange keys on _id and is fine)
+    ensure = re.findall(
+        r"hashpartitioning\(_sh#\d+[^)]*\), ENSURE_REQUIREMENTS", final)
+    assert not ensure, ensure
 
 
 def test_pack_global_has_no_corpus_wide_window(docs):
