@@ -207,6 +207,174 @@ def auto_max_df(df: DataFrame) -> int:
     )
 
 
+def _pair_counts_blob(sh: DataFrame, id_ddl: str, threshold: float):
+    """(id_a, id_b, n_a, n_b, n_common, jaccard) — the co-occurrence
+    count + threshold filter done as two Arrow kernels exchanging PACKED
+    BINARY partials instead of 114M pair rows (guide §8: when the
+    decision data is huge, move it once as blobs).
+
+    The row-based formulation is boundary-bound in both engines:
+    co-occurring pairs are ~90% DISTINCT, so the JVM partial aggregate
+    builds output-sized maps for ~no compression (sort-fallback churn),
+    and a row-per-pair numpy kernel loses to the 1024-row Arrow batch
+    framing (measured 17→44 s — CLAUDE.md rule 23). Here kernel 1
+    (per partition of the shared `_sh` exchange) enumerates pairs with
+    the repeat/cumsum construction over exact-string groups (pyarrow
+    dictionary codes: same string <=> same code, so a hash collision
+    cannot merge groups), partially counts them with one lexsort +
+    reduceat, buckets pairs by a deterministic hash, and emits ONE row
+    per (partition, bucket) whose payload is the raw int64 bytes of the
+    (id_a, id_b, count) arrays. The exchange then carries ~P² blob
+    cells; kernel 2 concatenates its bucket's blobs, merges counts with
+    a second lexsort+reduceat, attaches the pre-cap set sizes from a
+    broadcast (ids, n_sh) array pair (np.searchsorted), computes
+    jaccard with the same IEEE ops as the relational expression
+    (int64-exact numerator/denominator, one float64 divide), and emits
+    ONLY the pairs at or above the threshold — thousands of rows, not
+    114M. Pair-for-pair, bit-for-bit equal to the join+aggregate path
+    (test_jaccard_engines_identical)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sptag_spark.session import shuffle_parts
+
+    spark = sh.sparkSession
+    P = shuffle_parts(spark)
+    thr = float(threshold)
+
+    # pre-cap sizes, one Arrow collect of the per-doc aggregate branch
+    # (its shuffle map stages are shared with the main job — same `sh`
+    # lineage), broadcast as sorted parallel arrays for searchsorted
+    szt = sh.groupBy("_id").agg(
+        F.first("_n_sh").alias("_n_sh"),
+        F.max("_sh").alias("_prune_guard_sh"),
+    ).select("_id", "_n_sh").toArrow()
+    sz_ids = szt.column("_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    sz_n = szt.column("_n_sh").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    order = np.argsort(sz_ids, kind="stable")
+    bc_sizes = spark.sparkContext.broadcast(
+        (sz_ids[order], sz_n[order]))
+
+    MIX = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as int64
+
+    def bucket_of(id_a, id_b):
+        with np.errstate(over="ignore"):
+            h = (id_a * MIX) ^ id_b
+        return (h & np.int64(0x7FFFFFFFFFFFFFFF)) % np.int64(P)
+
+    def kernel1(batches):
+        import pyarrow.compute as pc
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        tbl = pa.Table.from_batches(chunks)
+        if tbl.num_rows == 0:
+            return
+        ids = tbl.column("_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes = pc.dictionary_encode(tbl.column("_sh").combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, codes))
+        codes_s, ids_s = codes[order], ids[order]
+        m = len(ids_s)
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        np.not_equal(codes_s[1:], codes_s[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        grp = np.cumsum(change) - 1
+        sizes = np.diff(np.append(starts, m))
+        pos = np.arange(m) - starts[grp]
+        lead = sizes[grp] - 1 - pos
+        total = int(lead.sum())
+        if total == 0:
+            return
+        a_idx = np.repeat(np.arange(m), lead)
+        csum = np.concatenate(([0], np.cumsum(lead)))
+        b_idx = a_idx + (np.arange(total) - csum[a_idx]) + 1
+        id_a, id_b = ids_s[a_idx], ids_s[b_idx]
+        # partial count within the partition: lexsort + run lengths
+        porder = np.lexsort((id_b, id_a))
+        id_a, id_b = id_a[porder], id_b[porder]
+        pchange = np.empty(total, dtype=bool)
+        pchange[0] = True
+        np.logical_or(id_a[1:] != id_a[:-1], id_b[1:] != id_b[:-1],
+                      out=pchange[1:])
+        pstarts = np.flatnonzero(pchange)
+        cnt = np.diff(np.append(pstarts, total)).astype(np.int64)
+        ua, ub = id_a[pstarts], id_b[pstarts]
+        # bucket + pack: one binary payload per target bucket
+        bk = bucket_of(ua, ub)
+        border = np.argsort(bk, kind="stable")
+        ua, ub, cnt, bk = ua[border], ub[border], cnt[border], bk[border]
+        bstarts = np.flatnonzero(np.concatenate(
+            ([True], bk[1:] != bk[:-1])))
+        bends = np.append(bstarts[1:], len(bk))
+        out_b, out_p = [], []
+        for s, e in zip(bstarts, bends):
+            out_b.append(int(bk[s]))
+            out_p.append(ua[s:e].tobytes() + ub[s:e].tobytes()
+                         + cnt[s:e].tobytes())
+        yield pa.record_batch(
+            [pa.array(out_b, pa.int32()), pa.array(out_p, pa.binary())],
+            names=["_b", "_p"],
+        )
+
+    def kernel2(batches):
+        bufs_a, bufs_b, bufs_c = [], [], []
+        for batch in batches:
+            for blob in batch.column("_p").to_pylist():
+                arr = np.frombuffer(blob, dtype=np.int64)
+                k = len(arr) // 3
+                bufs_a.append(arr[:k])
+                bufs_b.append(arr[k:2 * k])
+                bufs_c.append(arr[2 * k:])
+        if not bufs_a:
+            return
+        id_a = np.concatenate(bufs_a)
+        id_b = np.concatenate(bufs_b)
+        cnt = np.concatenate(bufs_c)
+        order = np.lexsort((id_b, id_a))
+        id_a, id_b, cnt = id_a[order], id_b[order], cnt[order]
+        m = len(id_a)
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        np.logical_or(id_a[1:] != id_a[:-1], id_b[1:] != id_b[:-1],
+                      out=change[1:])
+        starts = np.flatnonzero(change)
+        n_common = np.add.reduceat(cnt, starts)
+        ua, ub = id_a[starts], id_b[starts]
+        ids_sorted, ns = bc_sizes.value
+        ia = np.searchsorted(ids_sorted, ua)
+        ib = np.searchsorted(ids_sorted, ub)
+        if (ids_sorted[ia] != ua).any() or (ids_sorted[ib] != ub).any():
+            raise ValueError("jaccard blob kernel: pair id missing from "
+                             "the sizes table")
+        na, nb = ns[ia], ns[ib]
+        # same IEEE ops as the relational expression: exact int64
+        # numerator/denominator, one correctly-rounded float64 divide
+        jac = n_common.astype(np.float64) / \
+            (na + nb - n_common).astype(np.float64)
+        keep = jac >= thr
+        yield pa.record_batch(
+            [pa.array(ua[keep]), pa.array(ub[keep]),
+             pa.array(na[keep].astype(np.int32), pa.int32()),
+             pa.array(nb[keep].astype(np.int32), pa.int32()),
+             pa.array(n_common[keep]),
+             pa.array(jac[keep], pa.float64())],
+            names=["id_a", "id_b", "n_a", "n_b", "n_common", "jaccard"],
+        )
+
+    partials = sh.mapInArrow(kernel1, schema="_b int, _p binary")
+    return partials.repartition(P, "_b").mapInArrow(
+        kernel2,
+        schema=(f"id_a {id_ddl}, id_b {id_ddl}, n_a int, n_b int, "
+                "n_common long, jaccard double"),
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -230,11 +398,18 @@ def jaccard_pairs(
     """
     if max_df == "auto":
         max_df = auto_max_df(df)
+    sh = _exploded_shingles(df, id_col, text_col, n, max_df, engine=engine)
+    from pyspark.sql.types import LongType
+
+    if engine == "arrow" and isinstance(df.schema[id_col].dataType,
+                                        LongType):
+        # packed-binary pair counting (see _pair_counts_blob) — the
+        # row-per-pair formulations are boundary-bound in both engines
+        return _pair_counts_blob(sh, "bigint", threshold)
     # Self-join on the exact shingle string — it is the join KEY, not a
     # post-join check, so both sides consume the shared `_sh` exchange
     # directly (see _exploded_shingles: joins need co-partitioning on
     # ALL join keys).
-    sh = _exploded_shingles(df, id_col, text_col, n, max_df, engine=engine)
     a, b = sh.alias("a"), sh.alias("b")
     # Shuffle KEYS, not payloads (guide §2.3): co-occurring pairs are
     # almost all DISTINCT (measured 114M distinct of 127M generated at

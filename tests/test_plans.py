@@ -251,35 +251,43 @@ def test_ivf_probe_with_predicate_pushes_both_filters(spark, tmp_path):
     assert all(r["vec_id"] in labels for r in rows)
 
 
-def test_jaccard_single_scan_with_exchange_reuse(docs):
-    """The Jaccard self-join must evaluate the shingle pipeline ONCE:
-    after execution the adaptive plan shows exactly one parquet scan and
-    ReusedExchange reads everywhere else (second join side + the df-cap
-    frequency + sizes branches). The shared exchange partitions on the
-    shingle string `_sh` — exactly the self-join's key set, so BOTH join
-    sides consume it directly (joins require co-partitioning on ALL join
-    keys; any other partitioning re-exchanged 2.6M rows per side at
-    bench scale, r7) — and no ENSURE_REQUIREMENTS re-exchange may appear
-    between the repartition and the join."""
+def test_jaccard_plan_shapes(docs):
+    """Default (blob-kernel) path: ONE parquet scan, the shingle kernel
+    feeding the shared `_sh` exchange, pair-generation kernel, ONE
+    narrow bucket exchange of packed partials, merge kernel — and never
+    an ENSURE_REQUIREMENTS re-exchange on `_sh` (the r7 finding: joins
+    require co-partitioning on ALL join keys, so anything but the exact
+    key set re-exchanged 2.6M rows per side at bench scale).
+
+    engine='expr' keeps the relational self-join: single scan with
+    runtime ReusedExchange everywhere else, the ShuffledHashJoin
+    consuming the `_sh` repartition directly."""
     import re
 
     from sptag_spark.operators.dedup import jaccard_pairs
 
     df = jaccard_pairs(docs, threshold=0.5)
-    df.collect()  # AQE inserts ReusedExchange at runtime
+    df.collect()
     final = df._jdf.queryExecution().executedPlan().toString() \
         .split("== Initial Plan ==")[0]
     assert final.count("FileScan parquet") == 1
-    assert "ReusedExchange" in final
-    # the shared row-level exchange keys on the join key _sh
+    assert final.count("MapInArrow") == 3  # shingles, pair-gen, merge
     assert re.search(r"hashpartitioning\(_sh#\d+, \d+\), REPARTITION",
                      final), final
-    # the self-join consumes the repartition directly: no planner-
-    # inserted re-exchange of the exploded rows (the sizes branch's
-    # per-doc aggregate exchange keys on _id and is fine)
-    ensure = re.findall(
+    assert re.search(r"hashpartitioning\(_b#\d+, \d+\), REPARTITION",
+                     final), final
+    assert not re.findall(
         r"hashpartitioning\(_sh#\d+[^)]*\), ENSURE_REQUIREMENTS", final)
-    assert not ensure, ensure
+
+    df2 = jaccard_pairs(docs, threshold=0.5, engine="expr")
+    df2.collect()
+    final2 = df2._jdf.queryExecution().executedPlan().toString() \
+        .split("== Initial Plan ==")[0]
+    assert final2.count("FileScan parquet") == 1
+    assert "ReusedExchange" in final2
+    assert "ShuffledHashJoin" in final2
+    assert not re.findall(
+        r"hashpartitioning\(_sh#\d+[^)]*\), ENSURE_REQUIREMENTS", final2)
 
 
 def test_pack_global_has_no_corpus_wide_window(docs):
