@@ -600,10 +600,25 @@ def ivf_pq_probe(
 
         q_probe = opq_rotate_col(queries, rot, vec_col, "__rot")
         q_probe_vec = "__rot"
-    probes = _probe_buckets(q_probe, centroids, nprobe, id_col,
-                            q_probe_vec, max_dist_ratio=max_dist_ratio)
+    # small batches: driver-side probe selection (knn._driver_probes —
+    # one Arrow collect replaces the mode count + probe-kernel jobs;
+    # for OPQ the collect executes the rotation kernel, so the driver
+    # scores exactly the executor path's rotated vectors); waves fall
+    # through to the executor kernel + join-mode pruning
+    from sptag_spark.operators.knn import _driver_probes
+
+    probes = _driver_probes(spark, path, q_probe, nprobe, id_col,
+                            q_probe_vec, max_dist_ratio,
+                            driver_probe_limit, probe_mode)
+    if probes is None:
+        probes = _probe_buckets(q_probe, centroids, nprobe, id_col,
+                                q_probe_vec,
+                                max_dist_ratio=max_dist_ratio)
+        eff_mode = "join" if probe_mode == "auto" else probe_mode
+    else:
+        eff_mode = "driver"
     mode, probes_local, prune = _resolve_probes(
-        spark, path, probes, queries, probe_mode, driver_probe_limit,
+        spark, path, probes, queries, eff_mode, driver_probe_limit,
         scratch_dir=probe_scratch_dir)
     big = mode == "join"
 

@@ -2053,6 +2053,62 @@ def _load_centroids_local(path: str):
     return list(ids), mat, norms, tbl.schema.field("centroid_id").type
 
 
+def _driver_probes(spark, path: str, queries: DataFrame, nprobe: int,
+                   id_col: str, vec_col: str,
+                   max_dist_ratio: float | None,
+                   driver_probe_limit: int, probe_mode: str):
+    """Driver-side probe selection for SMALL query batches: one Arrow
+    collect of (query_id, vec) — which both decides the driver/join
+    mode (limit-bounded) and delivers the vectors — then the shared
+    numpy probe core against driver-loaded centroids. Returns a LOCAL
+    (query_id, bucket) DataFrame, or None when the batch exceeds the
+    bound (or probe_mode forces 'join') and the caller should use the
+    executor-side kernel path. `vec_col` may be a DERIVED column (e.g.
+    the OPQ-rotated query vector): the collect executes its kernel, so
+    the driver sees exactly the executor path's values."""
+    if probe_mode == "driver":
+        local_q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__e")).toArrow()
+    elif probe_mode == "auto":
+        t = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__e")) \
+            .limit(driver_probe_limit + 1).toArrow()
+        if t.num_rows > driver_probe_limit:
+            return None
+        local_q = t
+    else:
+        return None
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.types import from_arrow_type
+    from pyspark.sql.types import StructField, StructType
+
+    loaded = _load_centroids_local(path)
+    if loaded is not None:
+        cent_ids, cent_mat, cent_norms, bucket_at = loaded
+        bucket_dt = from_arrow_type(bucket_at)
+    else:
+        centroids = spark.read.parquet(f"{path}/centroids")
+        cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
+        bucket_dt = centroids.schema["centroid_id"].dataType
+    X = np_quantize(list_to_matrix(local_q.column("__e"), np.float64))
+    if len(X):
+        rows, buckets = _probe_pairs_np(
+            X, cent_ids, cent_mat, cent_norms, nprobe, max_dist_ratio)
+        qids = local_q.column("query_id") \
+            .to_numpy(zero_copy_only=False)[rows]
+    else:
+        qids, buckets = [], []
+    return spark.createDataFrame(
+        pd.DataFrame({"query_id": qids, "bucket": buckets}),
+        schema=StructType([
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("bucket", bucket_dt),
+        ]))
+
+
 def ivf_probe(
     spark,
     path: str,
@@ -2084,46 +2140,9 @@ def ivf_probe(
     interactive probe pays one cluster job total before scoring, not
     four. Identical math (_probe_pairs_np) and identical downstream
     plan; waves keep the executor-side kernel + dynamic pruning."""
-    local_q = None
-    if probe_mode == "driver":
-        local_q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__e")).toArrow()
-    elif probe_mode == "auto":
-        t = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__e")) \
-            .limit(driver_probe_limit + 1).toArrow()
-        if t.num_rows <= driver_probe_limit:
-            local_q = t
-    if local_q is not None:
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql.pandas.types import from_arrow_type
-        from pyspark.sql.types import StructField, StructType
-
-        loaded = _load_centroids_local(path)
-        if loaded is not None:
-            cent_ids, cent_mat, cent_norms, bucket_at = loaded
-            bucket_dt = from_arrow_type(bucket_at)
-        else:
-            centroids = spark.read.parquet(f"{path}/centroids")
-            cent_ids, cent_mat, cent_norms = _collect_centroids(centroids)
-            bucket_dt = centroids.schema["centroid_id"].dataType
-        X = np_quantize(list_to_matrix(local_q.column("__e"), np.float64))
-        if len(X):
-            rows, buckets = _probe_pairs_np(
-                X, cent_ids, cent_mat, cent_norms, nprobe, max_dist_ratio)
-            qids = local_q.column("query_id") \
-                .to_numpy(zero_copy_only=False)[rows]
-        else:
-            qids, buckets = [], []
-        probes = spark.createDataFrame(
-            pd.DataFrame({"query_id": qids, "bucket": buckets}),
-            schema=StructType([
-                StructField("query_id", queries.schema[id_col].dataType),
-                StructField("bucket", bucket_dt),
-            ]))
+    probes = _driver_probes(spark, path, queries, nprobe, id_col, vec_col,
+                            max_dist_ratio, driver_probe_limit, probe_mode)
+    if probes is not None:
         return probe_pruned_topk(spark, path, probes, queries, k,
                                  id_col, vec_col, predicate,
                                  probe_mode="driver",
